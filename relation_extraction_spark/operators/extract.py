@@ -1,0 +1,120 @@
+"""Extraction stage: pages -> sentences -> triples / mentions.
+
+Spark-first design (SURVEY.md §3.2): every public function is a pure
+DataFrame-in -> DataFrame-out transform returning an UNEXECUTED plan, so
+Catalyst prunes columns (never reads ``html`` unless asked) and pushes the
+``lang`` filter into the parquet scan. The tokenize/tag/chunk/match NLP
+passes are fused into ONE ``mapInPandas`` crossing per batch — token
+arrays and parse structure never hit the JVM<->Python wire (SURVEY.md §4
+"pipelining"; BASELINE.json:L15 "no per-row Python": all crossings are
+Arrow-batched).
+
+At 100 TB: the stage is embarrassingly parallel per document — no shuffle
+at all between scan and triple output. Parallelism is governed by input
+split size (``spark.sql.files.maxPartitionBytes``), not repartition; an
+optional ``repartition(n)`` knob exists for when upstream files are few
+and large.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.nlp import detect_mentions, extract_from_sentence
+from ..functions.segment import segment
+
+TRIPLE_COLS = "url string, sent_id int, subj string, pred string, obj string, conf double"
+MENTION_COLS = "url string, sent_id int, mention string, start int, end int"
+SENT_COLS = "url string, sent_id int, sentence string"
+
+
+def sentences_from_pages(
+    pages: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    lang: str | None = "en",
+) -> DataFrame:
+    """D2 + posexplode: one row per (doc, sent_id, sentence)."""
+    df = pages
+    if lang is not None and "lang" in df.columns:
+        df = df.filter(F.col("lang") == lang)
+    return (
+        df.select(F.col(id_col).alias("url"), F.col(text_col).alias("text"))
+        .select(
+            "url",
+            F.posexplode(segment(F.col("text"))).alias("sent_id", "sentence"),
+        )
+        .select("url", F.col("sent_id").cast("int").alias("sent_id"), "sentence")
+    )
+
+
+def _triples_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused tag+chunk+match pass over Arrow batches of sentences."""
+    for pdf in batches:
+        urls, sids, subjs, preds, objs, confs = [], [], [], [], [], []
+        for url, sid, sent in zip(
+            pdf["url"].to_numpy(), pdf["sent_id"].to_numpy(), pdf["sentence"].to_numpy()
+        ):
+            for t in extract_from_sentence(sent):
+                urls.append(url)
+                sids.append(sid)
+                subjs.append(t["subj"])
+                preds.append(t["pred"])
+                objs.append(t["obj"])
+                confs.append(t["conf"])
+        yield pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype=object),
+                "sent_id": pd.Series(sids, dtype="int32"),
+                "subj": pd.Series(subjs, dtype=object),
+                "pred": pd.Series(preds, dtype=object),
+                "obj": pd.Series(objs, dtype=object),
+                "conf": pd.Series(confs, dtype="float64"),
+            }
+        )
+
+
+def triples_from_sentences(sentences: DataFrame) -> DataFrame:
+    """D5 — OpenIE-style pattern extraction (one Arrow crossing)."""
+    return sentences.mapInPandas(_triples_batches, schema=TRIPLE_COLS)
+
+
+def _mentions_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        urls, sids, ments, starts, ends = [], [], [], [], []
+        for url, sid, sent in zip(
+            pdf["url"].to_numpy(), pdf["sent_id"].to_numpy(), pdf["sentence"].to_numpy()
+        ):
+            for m in detect_mentions(sent):
+                urls.append(url)
+                sids.append(sid)
+                ments.append(m["mention"])
+                starts.append(m["start"])
+                ends.append(m["end"])
+        yield pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype=object),
+                "sent_id": pd.Series(sids, dtype="int32"),
+                "mention": pd.Series(ments, dtype=object),
+                "start": pd.Series(starts, dtype="int32"),
+                "end": pd.Series(ends, dtype="int32"),
+            }
+        )
+
+
+def mentions_from_sentences(sentences: DataFrame) -> DataFrame:
+    """D6 — NP chunker over sentences."""
+    return sentences.mapInPandas(_mentions_batches, schema=MENTION_COLS)
+
+
+def triples_from_pages(
+    pages: DataFrame, text_col: str = "text", id_col: str = "url", lang: str | None = "en"
+) -> DataFrame:
+    """Library entry point: pages -> extracted triples (SURVEY.md §3.2)."""
+    return triples_from_sentences(
+        sentences_from_pages(pages, text_col=text_col, id_col=id_col, lang=lang)
+    )
