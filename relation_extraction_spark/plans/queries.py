@@ -1,0 +1,874 @@
+"""Oracle-checked query registry — one entry per implemented operator
+(SURVEY.md §2; driver contract __spark_entry__.py).
+
+``QUERIES[name] = (spark_fn, oracle_sql_or_None)``. The driver runs the
+Spark side at sf0.01 and diffs against the DuckDB oracle (row-count +
+schema + order-insensitive value-hash). Conventions that make the hash
+comparable (SURVEY.md §5.1):
+
+- every computed column is aliased IDENTICALLY on both sides;
+- double aggregates are ``round()``-ed on both sides (FP sums are not
+  associative; partial aggregation order differs between engines);
+- timestamps are formatted to 'yyyy-MM-dd HH:mm:ss' strings on both
+  sides (session TZ pinned UTC in session.py);
+- arrays are sorted then joined to '|' strings on both sides;
+- every top-k / rank has a total-order tiebreak so both engines pick
+  identical rows.
+
+Scale notes are inline per query: each Spark plan is written the way it
+should run at 100 TB (broadcast hints on dims, banded range joins, salted
+variants proving equality with unsalted SQL, partial aggs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- §2.2 P1-P4
+
+
+@q(
+    "project_compute",
+    "SELECT doc_id, lang, upper(source) AS source_u, n_chars + 1 AS n_chars1 "
+    "FROM documents",
+)
+def q_project(spark, sf):
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.upper("source").alias("source_u"),
+        (F.col("n_chars") + 1).alias("n_chars1"),
+    )
+
+
+@q(
+    "filter_predicate",
+    "SELECT doc_id, n_chars FROM documents "
+    "WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400",
+)
+def q_filter(spark, sf):
+    # predicate is sargable -> pushed into the parquet scan (verified in
+    # tests/test_plans.py); at 100 TB this is row-group pruning.
+    return (
+        T(spark, sf, "documents")
+        .filter((F.col("lang") == "en") & F.col("n_chars").between(100, 400))
+        .select("doc_id", "n_chars")
+    )
+
+
+@q(
+    "conditional_case",
+    "SELECT CASE WHEN n_chars < 150 THEN 'small' WHEN n_chars < 350 THEN "
+    "'medium' ELSE 'large' END AS size_bucket, count(*) AS n "
+    "FROM documents GROUP BY 1",
+)
+def q_conditional(spark, sf):
+    return (
+        T(spark, sf, "documents")
+        .select(
+            F.when(F.col("n_chars") < 150, "small")
+            .when(F.col("n_chars") < 350, "medium")
+            .otherwise("large")
+            .alias("size_bucket")
+        )
+        .groupBy("size_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "null_handling",
+    "SELECT coalesce(nullif(event_type, 'error'), 'unknown') AS etype, "
+    "count(*) AS n FROM events GROUP BY 1",
+)
+def q_nulls(spark, sf):
+    return (
+        T(spark, sf, "events")
+        .select(
+            F.coalesce(
+                F.nullif(F.col("event_type"), F.lit("error")), F.lit("unknown")
+            ).alias("etype")
+        )
+        .groupBy("etype")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------- §2.3 joins
+
+
+@q(
+    "join_broadcast",
+    "SELECT p_brand, count(*) AS n, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand",
+)
+def q_join_broadcast(spark, sf):
+    # J1: dimension side explicitly broadcast — at 100 TB the fact side
+    # never shuffles for this join.
+    li = T(spark, sf, "lineitem")
+    part = T(spark, sf, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "join_sort_merge",
+    "SELECT o_orderpriority, count(*) AS n, "
+    "round(sum(l_quantity), 2) AS total_qty "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "GROUP BY o_orderpriority",
+)
+def q_join_smj(spark, sf):
+    # J2: large-large equi join; planner picks SMJ/shuffled-hash above the
+    # broadcast threshold, AQE re-plans at runtime.
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@q(
+    "join_salted_skew",
+    "SELECT c_mktsegment, count(*) AS n, "
+    "round(sum(o_totalprice), 2) AS total "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "GROUP BY c_mktsegment",
+)
+def q_join_salted(spark, sf):
+    # J3: explicit salting (SALT-way key split + small-side replication) —
+    # must equal the unsalted SQL join. This is the skew-defusing plan
+    # shape for head keys at 10^12 docs (BASELINE.json:L14); AQE skew-join
+    # is the runtime backstop.
+    from ..operators.skew import salted_join
+
+    c = T(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    o = T(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    joined = salted_join(o, c, "o_custkey", "c_custkey", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@q(
+    "join_left_semi",
+    "SELECT o_orderkey, o_orderpriority FROM orders WHERE EXISTS "
+    "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)",
+)
+def q_join_semi(spark, sf):
+    o = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@q(
+    "join_left_anti",
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def q_join_anti(spark, sf):
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "join_left_outer",
+    "SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "GROUP BY c_mktsegment",
+)
+def q_join_outer(spark, sf):
+    c = T(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    o = T(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "join_range_banded",
+    "SELECT e1.user_id AS user_id, count(*) AS n_pairs "
+    "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
+    "AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE "
+    "GROUP BY e1.user_id",
+)
+def q_join_range(spark, sf):
+    # J8: theta/range join banded to an equi join on (user, time-bucket)
+    # + residual filter — avoids the O(n^2) nested loop the naive SQL
+    # implies; at scale the bucket key shards the work.
+    ev = T(spark, sf, "events").select(
+        "user_id", "ts", F.floor(F.unix_timestamp("ts") / 300).alias("b")
+    )
+    left = ev.select(
+        "user_id",
+        F.col("ts").alias("ts1"),
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("jb"),
+    )
+    right = ev.select(
+        F.col("user_id").alias("user_id2"),
+        F.col("ts").alias("ts2"),
+        F.col("b").alias("jb2"),
+    )
+    return (
+        left.join(
+            right,
+            (left.user_id == right.user_id2) & (left.jb == right.jb2),
+        )
+        .filter(
+            (F.col("ts2") > F.col("ts1"))
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@q(
+    "join_asof_latest",
+    "SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, "
+    "value FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+    "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1",
+)
+def q_join_asof(spark, sf):
+    # J9: as-of/latest-snapshot expressed as a window, not a join — one
+    # shuffle on the partition key, no self-join.
+    from ..operators.asof import latest_per_key
+
+    ev = T(spark, sf, "events")
+    return latest_per_key(ev, ["user_id"], "ts", tiebreak="event_id").select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        "value",
+    )
+
+
+# ----------------------------------------------------------- §2.4 aggregates
+
+
+@q(
+    "agg_hash_groupby",
+    "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value "
+    "FROM events GROUP BY event_type",
+)
+def q_agg(spark, sf):
+    return (
+        T(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "agg_salted_two_phase",
+    "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars "
+    "FROM documents GROUP BY lang",
+)
+def q_agg_salted(spark, sf):
+    # A2: explicit two-phase (key, salt) -> key aggregation; equals the
+    # plain GROUP BY. This is the plan shape for pathological head keys
+    # where map-side partial aggregation alone still funnels one reducer.
+    from ..operators.skew import salted_agg
+
+    docs = T(spark, sf, "documents")
+    return salted_agg(
+        docs,
+        keys=["lang"],
+        aggs={"n": ("count", None), "chars": ("sum_long", "n_chars")},
+        salt=8,
+    )
+
+
+@q(
+    "agg_distinct",
+    "SELECT DISTINCT lang, source FROM documents",
+)
+def q_distinct(spark, sf):
+    return T(spark, sf, "documents").select("lang", "source").distinct()
+
+
+@q(
+    "agg_collect_set",
+    "SELECT lang, array_to_string(list_sort(list(DISTINCT source)), '|') "
+    "AS sources FROM documents GROUP BY lang",
+)
+def q_collect_set(spark, sf):
+    # A4: collect_set order is nondeterministic -> array_sort before join
+    # (determinism rule, SURVEY.md §7.4.5).
+    return (
+        T(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("source")), "|").alias(
+                "sources"
+            )
+        )
+    )
+
+
+@q(
+    "agg_stats",
+    "SELECT l_returnflag, count(*) AS n, round(avg(l_quantity), 4) AS avg_qty, "
+    "round(min(l_extendedprice), 2) AS min_price, "
+    "round(max(l_extendedprice), 2) AS max_price, "
+    "round(sum(l_extendedprice), 2) AS sum_price "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def q_agg_stats(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@q(
+    "agg_rollup",
+    "SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS "
+    "source_g, count(*) AS n FROM documents GROUP BY ROLLUP(lang, source)",
+)
+def q_rollup(spark, sf):
+    return (
+        T(spark, sf, "documents")
+        .rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang_g"),
+            F.coalesce("source", F.lit("ALL")).alias("source_g"),
+            "n",
+        )
+    )
+
+
+@q(
+    "agg_cube",
+    "SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS "
+    "source_g, CAST(sum(n_chars) AS BIGINT) AS chars "
+    "FROM documents GROUP BY CUBE(lang, source)",
+)
+def q_cube(spark, sf):
+    return (
+        T(spark, sf, "documents")
+        .cube("lang", "source")
+        .agg(F.sum("n_chars").alias("chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang_g"),
+            F.coalesce("source", F.lit("ALL")).alias("source_g"),
+            "chars",
+        )
+    )
+
+
+@q(
+    "agg_conditional_countif",
+    "SELECT user_id, count(*) AS n, "
+    "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_errors FROM events GROUP BY user_id",
+)
+def q_countif(spark, sf):
+    return (
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_errors"),
+        )
+    )
+
+
+# -------------------------------------------------------------- §2.5 windows
+
+
+@q(
+    "window_row_number_top1",
+    "SELECT user_id, event_id, value FROM (SELECT user_id, event_id, value, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) "
+    "AS rn FROM events) WHERE rn = 1",
+)
+def q_window_top1(spark, sf):
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        T(spark, sf, "events")
+        .select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@q(
+    "window_dense_rank",
+    "SELECT event_type, event_id, value FROM (SELECT event_type, event_id, "
+    "value, dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, "
+    "event_id) AS dr FROM events) WHERE dr <= 3",
+)
+def q_dense_rank(spark, sf):
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        T(spark, sf, "events")
+        .select(
+            "event_type", "event_id", "value", F.dense_rank().over(w).alias("dr")
+        )
+        .filter(F.col("dr") <= 3)
+        .drop("dr")
+    )
+
+
+@q(
+    "window_lag_gap",
+    "SELECT user_id, event_id, coalesce(CAST(floor((epoch_us(ts) - "
+    "epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) "
+    "/ 1000000.0) AS BIGINT), -1) AS gap_s FROM events",
+)
+def q_lag(spark, sf):
+    # microsecond-exact on both sides, floored identically (unix_timestamp
+    # truncates to seconds per-value and would drift by +-1s vs the oracle)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))  # ntz->ltz, UTC session
+    return T(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.coalesce(
+            F.floor((ep - F.lag(ep).over(w)) / 1000000.0), F.lit(-1)
+        ).alias("gap_s"),
+    )
+
+
+@q(
+    "window_running_sum",
+    "SELECT user_id, event_id, round(sum(value) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    "), 2) AS running FROM events",
+)
+def q_running_sum(spark, sf):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return T(spark, sf, "events").select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running")
+    )
+
+
+@q(
+    "window_ntile",
+    "SELECT decile, count(*) AS n, round(min(value), 2) AS lo, "
+    "round(max(value), 2) AS hi FROM (SELECT value, ntile(10) OVER "
+    "(ORDER BY value, event_id) AS decile FROM events) GROUP BY decile",
+)
+def q_ntile(spark, sf):
+    w = Window.orderBy("value", "event_id")
+    return (
+        T(spark, sf, "events")
+        .select("value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+# ----------------------------------------------------- §2.6 sort/limit/top-k
+
+
+@q(
+    "sort_global_limit",
+    "SELECT doc_id, n_chars FROM documents "
+    "ORDER BY n_chars DESC, doc_id LIMIT 50",
+)
+def q_sort(spark, sf):
+    # O1/O2: orderBy+limit compiles to TakeOrderedAndProject — no global
+    # sort materialization at scale.
+    return (
+        T(spark, sf, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(50)
+    )
+
+
+@q(
+    "topk_orders",
+    "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+)
+def q_topk(spark, sf):
+    return (
+        T(spark, sf, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@q(
+    "topk_per_group",
+    "SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price "
+    "FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER "
+    "BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 2",
+)
+def q_topk_group(spark, sf):
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        T(spark, sf, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )
+
+
+# ------------------------------------------------------------- §2.7 set ops
+
+
+@q(
+    "set_union_all",
+    "SELECT doc_id, 'long' AS tag FROM documents WHERE n_chars > 300 "
+    "UNION ALL SELECT doc_id, 'en' AS tag FROM documents WHERE lang = 'en'",
+)
+def q_union(spark, sf):
+    d = T(spark, sf, "documents")
+    a = d.filter(F.col("n_chars") > 300).select("doc_id", F.lit("long").alias("tag"))
+    b = d.filter(F.col("lang") == "en").select("doc_id", F.lit("en").alias("tag"))
+    return a.unionByName(b)
+
+
+@q(
+    "set_intersect",
+    "SELECT source FROM documents WHERE lang = 'en' INTERSECT "
+    "SELECT source FROM documents WHERE lang = 'fr'",
+)
+def q_intersect(spark, sf):
+    d = T(spark, sf, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .select("source")
+        .intersect(d.filter(F.col("lang") == "fr").select("source"))
+    )
+
+
+@q(
+    "set_except",
+    "SELECT user_id FROM events WHERE event_type = 'purchase' EXCEPT "
+    "SELECT user_id FROM events WHERE event_type = 'error'",
+)
+def q_except(spark, sf):
+    e = T(spark, sf, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .subtract(e.filter(F.col("event_type") == "error").select("user_id"))
+    )
+
+
+# ---------------------------------------------------- §2.8 scalar functions
+
+
+@q(
+    "fn_string_normalize",
+    "SELECT doc_id, upper(substr(text, 1, 8)) AS head8, "
+    "length(trim(text)) AS len, concat(lang, ':', source) AS tag "
+    "FROM documents",
+)
+def q_string(spark, sf):
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 8)).alias("head8"),
+        F.length(F.trim(F.col("text"))).alias("len"),
+        F.concat_ws(":", "lang", "source").alias("tag"),
+    )
+
+
+@q(
+    "fn_regexp",
+    "SELECT doc_id, regexp_extract(text, '([a-z]+)', 1) AS first_word "
+    "FROM documents WHERE text LIKE '%key%'",
+)
+def q_regexp(spark, sf):
+    return (
+        T(spark, sf, "documents")
+        .filter(F.col("text").like("%key%"))
+        .select(
+            "doc_id",
+            F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        )
+    )
+
+
+@q(
+    "fn_hash_md5",
+    "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+)
+def q_md5(spark, sf):
+    # F4: md5 is the cross-engine-stable content hash (xxhash64 used for
+    # internal ids is Spark-only -> covered rows-only elsewhere).
+    return T(spark, sf, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+
+
+@q(
+    "fn_datetime",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s, "
+    "CAST(extract(dow FROM ts) AS INT) AS dow, count(*) AS n "
+    "FROM events GROUP BY 1, 2",
+)
+def q_datetime(spark, sf):
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6
+    return (
+        T(spark, sf, "events")
+        .select(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias(
+                "hour_s"
+            ),
+            (F.dayofweek("ts") - 1).alias("dow"),
+        )
+        .groupBy("hour_s", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "fn_math",
+    "SELECT l_orderkey, l_linenumber, round(ln(1 + l_extendedprice), 6) AS "
+    "log_price, round(greatest(l_tax, l_discount), 2) AS max_rate, "
+    "CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil FROM lineitem "
+    "WHERE l_orderkey < 1000",
+)
+def q_math(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.log1p("l_extendedprice"), 6).alias("log_price"),
+            F.round(F.greatest("l_tax", "l_discount"), 2).alias("max_rate"),
+            F.ceil("l_quantity").alias("qty_ceil"),
+        )
+    )
+
+
+@q(
+    "fn_array_ops",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+    "len(list_distinct(string_split(text, ' '))) AS n_distinct "
+    "FROM documents",
+)
+def q_array(spark, sf):
+    toks = F.split(F.col("text"), " ")
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+@q(
+    "fn_json",
+    "SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') "
+    "AS INT)), 4) AS avg_k FROM events GROUP BY event_type",
+)
+def q_json(spark, sf):
+    return (
+        T(spark, sf, "events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"))
+    )
+
+
+@q(
+    "fn_vector_cosine",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 4) AS cos "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE a.vec_id < 20 AND b.vec_id < 20",
+)
+def q_cosine(spark, sf):
+    # F9: cosine via higher-order functions — stays JVM-side, no UDF.
+    from ..operators.similarity import cosine_expr
+
+    e = T(spark, sf, "embeddings").filter(F.col("vec_id") < 20)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr("ea", "eb"), 4).alias("cos"),
+        )
+    )
+
+
+# ------------------------------------------------- §2.9 streaming analogues
+
+
+@q(
+    "window_tumbling_1h",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS "
+    "window_start, count(*) AS n, round(sum(value), 2) AS total "
+    "FROM events GROUP BY 1",
+)
+def q_tumbling(spark, sf):
+    # T1: F.window is the streaming-compatible form (same expression works
+    # under readStream + withWatermark; see streaming/windows.py).
+    return (
+        T(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "n",
+            "total",
+        )
+    )
+
+
+@q(
+    "window_sliding_1h_15m",
+    "SELECT strftime(make_timestamp(CAST((floor(epoch(ts) / 900) - g.i) "
+    "* 900 AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "count(*) AS n FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) "
+    "g(i) GROUP BY 1",
+)
+def q_sliding(spark, sf):
+    return (
+        T(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"), "n"
+        )
+    )
+
+
+@q(
+    "session_window_30m",
+    "WITH flagged AS (SELECT user_id, ts, value, CASE WHEN epoch(ts) - "
+    "epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "> 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "IS NULL THEN 1 ELSE 0 END AS new_s, event_id FROM events), "
+    "sess AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY "
+    "ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "
+    "BIGINT) AS session_id FROM flagged) "
+    "SELECT user_id, session_id, count(*) AS n, round(sum(value), 2) AS "
+    "total FROM sess GROUP BY user_id, session_id",
+)
+def q_session(spark, sf):
+    # T3 batch analogue of session_window: lag -> flag -> cumsum -> agg.
+    # (The true F.session_window streaming form lives in
+    # streaming/windows.py; it is not ANSI-SQL expressible.)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ep = F.unix_timestamp("ts")
+    flagged = T(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(
+            (ep - F.lag(ep).over(w) > 1800) | F.lag(ep).over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(cum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@q(
+    "dedup_stateful_by_key",
+    "SELECT user_id, strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') "
+    "AS minute_s, CAST(min(event_id) AS BIGINT) AS first_event "
+    "FROM events GROUP BY 1, 2",
+)
+def q_dedup_keyed(spark, sf):
+    # T5: exactly-once per (user, minute); deterministic representative via
+    # min(event_id) rather than dropDuplicates' arbitrary row.
+    return (
+        T(spark, sf, "events")
+        .groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("minute", "ts"), TS_FMT_SPARK).alias(
+                "minute_s"
+            ),
+        )
+        .agg(F.min("event_id").alias("first_event"))
+    )
