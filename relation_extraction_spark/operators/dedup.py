@@ -1,0 +1,312 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+All variants are pure DataFrame compositions (JVM-side, no Python UDFs):
+
+- ``exact_dedup``          — hash-groupBy on normalized content.
+- ``ngram_shingles``       — word n-gram shingle sets as a Column expr.
+- ``ngram_jaccard_pairs``  — exact near-dup pairs via shingle-inverted-
+                             index self-join (the oracle-checkable form).
+- ``minhash_signature``    — k-permutation MinHash as k JVM aggregations
+                             over xxhash64(shingle) (no UDF, no
+                             pyspark.ml dependency).
+- ``minhash_lsh_pairs``    — banded LSH candidate pairs + exact-Jaccard
+                             verification: the 100 TB-scale path (only
+                             banded-bucket collisions are joined, never
+                             all pairs).
+- ``simhash_signature``    — 64-bit SimHash via per-bit conditional sums.
+- ``simhash_pairs``        — hamming<=k pairs via 4-chunk pigeonhole
+                             banding + bit_count(xor) verify.
+- ``embedding_dup_pairs``  — cosine>=t pairs (brute force small-N oracle
+                             form; LSH-bucketed scale path lives in
+                             similarity.py).
+
+Scale notes: every pair-finder shuffles on a *blocking key* (shingle,
+LSH band, simhash chunk) rather than cross-joining; hot shingles (stop
+phrases) are capped with a frequency filter — the same salting philosophy
+as the KG linking stage (BASELINE.json:L14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def normalize_text_expr(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One representative (min id) per exact normalized text."""
+    return (
+        df.select(F.col(id_col), normalize_text_expr(text_col).alias("_norm"))
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def ngram_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (JVM-side)."""
+    toks = F.split(
+        F.col(text_col) if isinstance(text_col, str) else text_col, " "
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard>=threshold pairs via inverted-index join.
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    docs (stop-phrase explosion guard at scale; None = exact).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(ngram_shingles(text_col, n)).alias("sh"),
+    )
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") > max_shingle_freq)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc").alias("id_a"), "sh")
+    b = sh.select(F.col("doc").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k hash permutations (splitmix64)."""
+    out = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(k):
+        pair = []
+        for _ in range(2):
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            pair.append((z ^ (z >> 31)) % _MERSENNE)
+        a, b = pair
+        out.append((a | 1, b))
+    return out
+
+
+def minhash_signature(
+    docs: DataFrame,
+    k: int = 32,
+    n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """doc -> array<long> of k min-hashes, all JVM-side.
+
+    h_i(s) = (a_i * xxhash64(s) + b_i) mod (2^61-1); signature element i
+    is min over the doc's shingles — k aggregations in ONE groupBy pass
+    (map-side partial min, no UDF, no per-row Python).
+    """
+    params = _perm_params(k, seed)
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(ngram_shingles(text_col, n)).alias("sh"),
+    ).withColumn("h", F.xxhash64("sh").cast("decimal(38,0)"))
+    aggs = [
+        F.min(
+            F.pmod(
+                (F.lit(a) * F.col("h") + F.lit(b)).cast("decimal(38,0)"),
+                F.lit(_MERSENNE),
+            )
+        )
+        .cast("long")
+        .alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
+    return sig.select(
+        "doc", F.array(*[f"mh_{i}" for i in range(k)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs: banded-LSH blocking then exact-Jaccard verify.
+
+    Candidates = pairs agreeing on at least one band (rows = k/bands sig
+    values hashed together); each candidate is verified with the exact
+    n-gram Jaccard so output has no false positives — the LSH only
+    bounds recall/cost. Shuffles on band-hash only; never all-pairs.
+    """
+    rows = k // bands
+    sig = minhash_signature(docs, k=k, n=n, seed=seed, id_col=id_col, text_col=text_col)
+    banded = sig.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("signature")[i] for i in range(b * rows, (b + 1) * rows)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(F.col("doc").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("doc").alias("id_b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    texts = docs.select(
+        F.col(id_col).alias("doc"), ngram_shingles(text_col, n).alias("shset")
+    )
+    ta = texts.select(F.col("doc").alias("id_a"), F.col("shset").alias("sha"))
+    tb = texts.select(F.col("doc").alias("id_b"), F.col("shset").alias("shb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signature(
+    docs: DataFrame,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """doc -> 64-bit SimHash (long) via per-bit conditional sums."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc").agg(*bit_aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        weight = (1 << i) if i < 63 else -(1 << 63)  # two's-complement top bit
+        sig = sig + F.when(
+            F.col(f"b_{i}") > 0, F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hamming<=k pairs by pigeonhole banding on 4 16-bit chunks: any pair
+    within distance 3 agrees exactly on at least one chunk, so candidates
+    join on (chunk_idx, chunk_value) and verify with bit_count(xor)."""
+    sig = simhash_signature(docs, id_col=id_col, text_col=text_col)
+    chunks = sig.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * c)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"c{c}")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk", "cv"),
+    )
+    a = chunks.select(
+        F.col("doc").alias("id_a"), F.col("simhash").alias("ha"), "chunk", "cv"
+    )
+    b = chunks.select(
+        F.col("doc").alias("id_b"), F.col("simhash").alias("hb"), "chunk", "cv"
+    )
+    return (
+        a.join(b, ["chunk", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine>=t pairs — brute-force form (oracle-checkable). The scale
+    path buckets by random-hyperplane LSH first (similarity.py)."""
+    from .similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine_expr("va", "vb"), 4).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

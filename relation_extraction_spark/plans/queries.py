@@ -872,3 +872,221 @@ def q_dedup_keyed(spark, sf):
         )
         .agg(F.min("event_id").alias("first_event"))
     )
+
+
+# ============================================================ chunk 2:
+# training-data pipeline operators (driver brief: dedup, similarity,
+# text analysis) + KG extraction stages (rows-only where non-SQL).
+
+
+@q(
+    "dedup_exact",
+    "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM (SELECT "
+    "doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS _norm "
+    "FROM documents) GROUP BY _norm",
+)
+def q_dedup_exact(spark, sf):
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(T(spark, sf, "documents"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM "
+    "documents WHERE lang = 'en'), sh AS (SELECT doc_id, unnest("
+    "list_distinct(list_transform(generate_series(1, greatest(len(t) - 1, "
+    "0)), i -> array_to_string(t[i:i+1], ' ')))) AS sh FROM toks), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+    "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) SELECT id_a, id_b, round(CAST(c AS DOUBLE) / "
+    "(sa.sz + sb.sz - c), 6) AS jaccard FROM com "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.3",
+)
+def q_dedup_ngram(spark, sf):
+    # word-bigram Jaccard >= 0.3 over en docs (inverted-index join, no
+    # cross product). n=2/t=0.3 chosen so the fixture yields a non-empty,
+    # non-huge pair set.
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = T(spark, sf, "documents").filter(F.col("lang") == "en")
+    return ngram_jaccard_pairs(docs, threshold=0.3, n=2)
+
+
+@q(
+    "dedup_embedding_cosine",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round("
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 4) AS cos FROM embeddings a JOIN "
+    "embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity("
+    "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3",
+)
+def q_dedup_embedding(spark, sf):
+    from ..operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(T(spark, sf, "embeddings"), threshold=0.3)
+
+
+@q("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB equivalent
+def q_dedup_minhash(spark, sf):
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = T(spark, sf, "documents").filter(F.col("lang") == "en")
+    return minhash_lsh_pairs(docs, threshold=0.3, k=32, bands=8, n=2)
+
+
+@q("dedup_simhash")  # rows-only: xxhash64-based bits
+def q_dedup_simhash(spark, sf):
+    from ..operators.dedup import simhash_pairs
+
+    docs = T(spark, sf, "documents").filter(F.col("lang") == "en")
+    return simhash_pairs(docs, max_hamming=16)
+
+
+@q(
+    "ann_topk_bruteforce",
+    "SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos FROM ("
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[])) AS cos, row_number() OVER ("
+    "PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST("
+    "q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, "
+    "c.vec_id) AS rank FROM embeddings q JOIN embeddings c ON "
+    "q.vec_id != c.vec_id WHERE q.vec_id < 10) WHERE rank <= 5",
+)
+def q_ann_brute(spark, sf):
+    from ..operators.similarity import brute_force_topk
+
+    emb = T(spark, sf, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@q("ann_topk_lsh")  # rows-only: recall<1 by design vs exact oracle
+def q_ann_lsh(spark, sf):
+    from ..operators.similarity import lsh_bucketed_topk
+
+    emb = T(spark, sf, "embeddings")
+    return lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=4
+    )
+
+
+_SW_EN_SQL = "['the','a','an','and','or','of','in','on','at','is','are','was','with','for','to','by','from','this','that','it']"
+_SW_ES_SQL = "['el','la','los','las','un','una','y','o','de','en','es','son','con','para','por','que','este','esta']"
+
+
+@q(
+    "text_lang_id",
+    "SELECT doc_id, lang, CASE WHEN en_r >= 0.08 AND en_r >= es_r THEN 'en' "
+    "WHEN es_r >= 0.08 THEN 'es' ELSE 'unknown' END AS lang_pred, "
+    "round(en_r, 4) AS en_ratio FROM (SELECT doc_id, lang, "
+    f"CAST(len(list_filter(string_split(lower(text), ' '), t -> "
+    f"list_contains({_SW_EN_SQL}, t))) AS DOUBLE) / greatest(len("
+    "string_split(lower(text), ' ')), 1) AS en_r, "
+    f"CAST(len(list_filter(string_split(lower(text), ' '), t -> "
+    f"list_contains({_SW_ES_SQL}, t))) AS DOUBLE) / greatest(len("
+    "string_split(lower(text), ' ')), 1) AS es_r FROM documents)",
+)
+def q_lang_id(spark, sf):
+    from ..functions.textstats import (
+        EN_STOPWORDS,
+        lang_id_expr,
+        stopword_ratio_expr,
+    )
+
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        lang_id_expr("text").alias("lang_pred"),
+        F.round(stopword_ratio_expr("text", EN_STOPWORDS), 4).alias("en_ratio"),
+    )
+
+
+@q(
+    "text_quality_score",
+    "SELECT doc_id, round((CASE WHEN length(text) >= 100 AND length(text) "
+    "<= 20000 THEN 0.4 ELSE 0.0 END) + (CASE WHEN mean_wl >= 3.0 AND "
+    "mean_wl <= 12.0 THEN 0.3 ELSE 0.0 END) + least(sw_r * 3.0, 1.0) * "
+    "0.3, 4) AS quality FROM (SELECT doc_id, text, CAST(length(text) AS "
+    "DOUBLE) / greatest(len(string_split(lower(text), ' ')), 1) AS "
+    f"mean_wl, CAST(len(list_filter(string_split(lower(text), ' '), t -> "
+    f"list_contains({_SW_EN_SQL}, t))) AS DOUBLE) / greatest(len("
+    "string_split(lower(text), ' ')), 1) AS sw_r FROM documents)",
+)
+def q_quality(spark, sf):
+    from ..functions.textstats import quality_score_expr
+
+    return T(spark, sf, "documents").select(
+        "doc_id", quality_score_expr("text").alias("quality")
+    )
+
+
+@q(
+    "text_token_counts",
+    "SELECT doc_id, len(string_split(lower(text), ' ')) AS n_ws_tokens, "
+    "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) "
+    "AS n_bpe_tokens FROM documents",
+)
+def q_token_counts(spark, sf):
+    from ..functions.textstats import bpe_token_count_expr, token_count_expr
+
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        token_count_expr("text").alias("n_ws_tokens"),
+        bpe_token_count_expr("text").alias("n_bpe_tokens"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', "
+    "'g')) AS fp, list_aggregate(list_transform(list_distinct("
+    "list_transform(generate_series(1, greatest(len(string_split(text, "
+    "' ')) - 2, 0)), i -> array_to_string((string_split(text, ' '))"
+    "[i:i+2], ' '))), g -> md5(g)), 'min') AS shingle_fp FROM documents",
+)
+def q_fingerprint(spark, sf):
+    from ..functions.textstats import fingerprint_expr, shingle_fingerprint_expr
+
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        fingerprint_expr("text").alias("fp"),
+        shingle_fingerprint_expr("text", 3).alias("shingle_fp"),
+    )
+
+
+# ------------------------------------------------ KG extraction stages
+# (non-SQL-expressible: pattern extraction is the pandas-UDF compiler;
+# driver records rows-only checks — SURVEY.md §2 note)
+
+
+@q("kg_extract_triples")
+def q_kg_triples(spark, sf):
+    from ..operators.extract import triples_from_pages
+
+    docs = T(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang"
+    )
+    return triples_from_pages(docs, lang="en")
+
+
+@q("kg_detect_mentions")
+def q_kg_mentions(spark, sf):
+    from ..operators.extract import mentions_from_sentences, sentences_from_pages
+
+    docs = T(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang"
+    )
+    return mentions_from_sentences(sentences_from_pages(docs, lang="en"))
+
+
+@q("kg_segment_sentences")
+def q_kg_sentences(spark, sf):
+    from ..operators.extract import sentences_from_pages
+
+    docs = T(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang"
+    )
+    return sentences_from_pages(docs, lang="en")
