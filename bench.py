@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract): runs headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "triples_total": N, "triples_per_sec": N}
+
+The headline metric is the end-to-end KG pipeline wall time over a
+deterministic synthetic web_pages corpus (ingest is pre-generated and
+cached so the measured path is the pipeline, not test-data generation),
+which yields the BASELINE.md triples/sec figure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+def _run() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    from relation_extraction_spark.plans.flagship import top_triples
+    from relation_extraction_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from relation_extraction_spark.plans.queries import QUERIES
+    from relation_extraction_spark.session import get_spark
+    from relation_extraction_spark.sources.corpus import synthetic_pages
+
+    spark = get_spark(
+        app_name="kg-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # -------- per-operator headline queries over the sf fixtures
+    bench_queries = [
+        "kg_extract_triples",
+        "kg_detect_mentions",
+        "kg_link_mentions",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "ann_topk_bruteforce",
+        "join_sort_merge",
+        "join_broadcast",
+        "agg_hash_groupby",
+        "window_running_sum",
+        "text_quality_score",
+    ]
+    for name in bench_queries:
+        fn, _sql = QUERIES[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).write.format("noop").mode("overwrite").save())
+
+    timed("flagship_top_triples", lambda: top_triples(spark, sf_dir).collect())
+
+    # -------- end-to-end KG pipeline over a synthetic corpus
+    corpus_dir = f"/tmp/kg_bench_corpus_{pages}"
+    if not os.path.exists(corpus_dir + "/_SUCCESS"):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        synthetic_pages(spark, pages, seed=42, skew=0.1).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
+    out_dir = f"/tmp/kg_bench_out_{int(time.time() * 1000)}"
+    t0 = time.time()
+    run_pipeline(
+        spark,
+        PipelineConfig(
+            out=out_dir,
+            pages=pages,
+            input_parquet=corpus_dir,
+            resume=False,
+            run_id="bench",
+        ),
+    )
+    e2e = time.time() - t0
+    timings["kg_pipeline_e2e"] = round(e2e, 3)
+
+    from relation_extraction_spark.sources.lakehouse import SnapshotTable
+
+    triples_total = SnapshotTable(out_dir, "triples").latest_manifest()["n_rows"]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+
+    return {
+        "metric": "kg_pipeline_e2e_sec",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages": pages,
+        "cpus": cpus,
+        "triples_total": triples_total,
+        "triples_per_sec": round(triples_total / e2e, 1),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(_run()))

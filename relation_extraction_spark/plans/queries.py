@@ -1090,3 +1090,58 @@ def q_kg_sentences(spark, sf):
         F.col("doc_id").cast("string").alias("url"), "text", "lang"
     )
     return sentences_from_pages(docs, lang="en")
+
+
+# ------------------------------------------------ KG pipeline stages over
+# the fixture corpus (rows-only: linking/canonicalization depend on
+# xxhash64 ids and the pattern compiler; the golden-fixture pytest gates
+# their semantics — tests/test_pipeline.py)
+
+
+def _fixture_mentions(spark, sf):
+    from ..operators.extract import mentions_from_sentences, sentences_from_pages
+
+    docs = T(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang"
+    )
+    return mentions_from_sentences(sentences_from_pages(docs, lang="en"))
+
+
+@q("kg_link_mentions")
+def q_kg_link(spark, sf):
+    from ..operators.linking import link_mentions
+    from ..sources.dictionary import entity_dictionary
+
+    return link_mentions(_fixture_mentions(spark, sf), entity_dictionary(spark))
+
+
+@q("kg_canonicalize_entities")
+def q_kg_canonicalize(spark, sf):
+    from ..operators.canonicalize import canonicalize
+    from ..operators.linking import link_mentions
+    from ..sources.dictionary import entity_dictionary
+
+    mentions = _fixture_mentions(spark, sf)
+    linked = link_mentions(mentions, entity_dictionary(spark))
+    entities, _mapping = canonicalize(mentions, linked)
+    return entities.select(
+        "canonical_id", F.array_join("surface_forms", "|").alias("surface_forms")
+    )
+
+
+@q("kg_materialize_edges")
+def q_kg_edges(spark, sf):
+    from ..operators.canonicalize import canonicalize
+    from ..operators.extract import triples_from_pages
+    from ..operators.linking import link_mentions
+    from ..sources.dictionary import entity_dictionary
+    from ..operators.graph import materialize_edges
+
+    docs = T(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang"
+    )
+    mentions = _fixture_mentions(spark, sf)
+    triples = triples_from_pages(docs, lang="en")
+    linked = link_mentions(mentions, entity_dictionary(spark))
+    _entities, mapping = canonicalize(mentions, linked, triples)
+    return materialize_edges(triples, mapping)
