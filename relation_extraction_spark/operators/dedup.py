@@ -305,8 +305,7 @@ def embedding_dup_pairs(
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", F.round(cosine_expr("va", "vb"), 4).alias("cos")
-        )
-        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", cosine_expr("va", "vb").alias("_cos"))
+        .filter(F.col("_cos") >= threshold)  # gate on the RAW value; round
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cos"))  # for display
     )

@@ -1,0 +1,63 @@
+"""Triple/mention P/R vs the golden oracle (BASELINE.json:L2 "triple
+P/R>=0.95 vs reference fixtures"; SURVEY.md §5.2). Computed with the
+set operators the engine itself exposes (U2 intersect / U3 except)."""
+
+from __future__ import annotations
+
+from relation_extraction_spark.operators.asof import latest_per_key
+from relation_extraction_spark.operators.extract import (
+    mentions_from_sentences,
+    sentences_from_pages,
+    triples_from_sentences,
+)
+from relation_extraction_spark.sources.corpus import synthetic_pages
+
+from .oracle import golden_mentions, golden_pages, golden_triples
+
+N = 400
+
+
+def _pipeline_sentences(spark):
+    raw = synthetic_pages(spark, N, seed=42, skew=0.15, dup_frac=0.08)
+    pages = latest_per_key(raw, ["url"], "warc_ts")
+    return sentences_from_pages(pages, lang="en")
+
+
+def _pr(pred: set, gold: set) -> tuple[float, float]:
+    if not pred or not gold:
+        return 0.0, 0.0
+    tp = len(pred & gold)
+    return tp / len(pred), tp / len(gold)
+
+
+def test_triple_precision_recall(spark):
+    sents = _pipeline_sentences(spark)
+    pred = {
+        (r.url, r.sent_id, r.subj, r.pred, r.obj)
+        for r in triples_from_sentences(sents).collect()
+    }
+    gold = golden_triples(golden_pages(N, seed=42, skew=0.15, dup_frac=0.08))
+    p, r = _pr(pred, gold)
+    assert len(gold) > 200, "fixture too small to be meaningful"
+    assert p >= 0.95 and r >= 0.95, f"P={p:.4f} R={r:.4f}"
+    # oracle and pipeline share pattern code; anything below 1.0 means a
+    # distribution bug (batching/explode/dedup), not an NLP diff
+    assert p == 1.0 and r == 1.0, f"P={p:.4f} R={r:.4f}"
+
+
+def test_mention_precision_recall(spark):
+    sents = _pipeline_sentences(spark)
+    pred = {
+        (r.url, r.sent_id, r.mention, r.start, r.end)
+        for r in mentions_from_sentences(sents).collect()
+    }
+    gold = golden_mentions(golden_pages(N, seed=42, skew=0.15, dup_frac=0.08))
+    p, r = _pr(pred, gold)
+    assert p == 1.0 and r == 1.0, f"P={p:.4f} R={r:.4f}"
+
+
+def test_extraction_deterministic_across_runs(spark):
+    sents = _pipeline_sentences(spark)
+    a = sorted(map(tuple, triples_from_sentences(sents).collect()))
+    b = sorted(map(tuple, triples_from_sentences(sents).collect()))
+    assert a == b

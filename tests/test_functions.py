@@ -1,0 +1,124 @@
+"""Unit tests for the pure-Python NLP/text cores (no Spark needed).
+
+These are the leaf functions shared by the Spark path and the golden
+oracle (SURVEY.md §5.2), so they get direct, example-based coverage.
+"""
+
+from __future__ import annotations
+
+from relation_extraction_spark.functions.htmltext import extract_text_py
+from relation_extraction_spark.functions.nlp import (
+    detect_mentions,
+    extract_from_sentence,
+    tag_tokens,
+    tokenize,
+)
+from relation_extraction_spark.functions.segment import segment_py
+
+
+class TestExtractText:
+    def test_strips_head_script_style_comments(self):
+        html = (
+            "<html><head><title>T</title><script>x</script></head>"
+            "<body><!-- c --><style>s{}</style><p>Hello world.</p></body></html>"
+        )
+        assert extract_text_py(html) == "Hello world."
+
+    def test_unescapes_entities(self):
+        assert extract_text_py("<p>a &amp; b &lt;c&gt; &#101;nd</p>") == "a & b <c> end"
+
+    def test_double_escape_order(self):
+        # &amp;lt; must decode to the literal string "&lt;", not "<"
+        assert extract_text_py("<p>&amp;lt;</p>") == "&lt;"
+
+    def test_collapses_whitespace(self):
+        assert extract_text_py("<p>a</p>\n\n<p>b\t c</p>") == "a b c"
+
+    def test_none_and_empty(self):
+        assert extract_text_py(None) == ""
+        assert extract_text_py("") == ""
+
+
+class TestSegment:
+    def test_basic_split(self):
+        assert segment_py("One sentence. Two here! Three?") == [
+            "One sentence.", "Two here!", "Three?",
+        ]
+
+    def test_abbreviation_guard(self):
+        sents = segment_py("Dr. Smith says hi. The end came.")
+        assert sents == ["Dr. Smith says hi.", "The end came."]
+
+    def test_quote_terminators(self):
+        sents = segment_py('"Stop here." Next one.')
+        assert sents == ['"Stop here."', "Next one."]
+
+    def test_word_soup_windows(self):
+        words = " ".join(f"w{i}" for i in range(30))
+        sents = segment_py(words)
+        assert len(sents) == 3
+        assert " ".join(sents) == words
+
+    def test_empty(self):
+        assert segment_py("") == []
+        assert segment_py(None) == []
+
+
+class TestNlp:
+    def test_tokenize(self):
+        assert tokenize('The engine scans "rows".') == [
+            "The", "engine", "scans", '"', "rows", '"', ".",
+        ]
+
+    def test_tagger_det_noun_verb(self):
+        toks = tokenize("The engine scans the table.")
+        assert tag_tokens(toks) == "DNVDNO"
+
+    def test_verb_after_det_is_noun(self):
+        # "a hash join" — lexical verbs become nouns after a determiner
+        toks = tokenize("The planner picks a hash join.")
+        assert tag_tokens(toks) == "DNVDNNO"
+
+    def test_svo_extraction(self):
+        ts = extract_from_sentence("The fast engine scans the large table.")
+        assert {(t["subj"], t["pred"], t["obj"]) for t in ts} == {
+            ("fast engine", "scans", "large table")
+        }
+
+    def test_copula_extraction(self):
+        ts = extract_from_sentence("Spark is a distributed engine.")
+        assert {(t["subj"], t["pred"], t["obj"]) for t in ts} == {
+            ("Spark", "be", "distributed engine")
+        }
+
+    def test_verb_prep_extraction(self):
+        ts = extract_from_sentence("The engine writes to the table.")
+        preds = {t["pred"] for t in ts}
+        assert "writes to" in preds
+
+    def test_chained_clauses(self):
+        ts = extract_from_sentence(
+            "The engine scans the table, and the table holds the rows."
+        )
+        got = {(t["subj"], t["pred"], t["obj"]) for t in ts}
+        assert ("engine", "scans", "table") in got
+        assert ("table", "holds", "rows") in got
+
+    def test_no_self_triples(self):
+        for t in extract_from_sentence("The table joins the table."):
+            assert t["subj"].lower() != t["obj"].lower()
+
+    def test_short_sentence_empty(self):
+        assert extract_from_sentence("Hello.") == []
+
+    def test_deterministic(self):
+        s = "Dr. Chen says the optimizer prunes the partitions."
+        assert extract_from_sentence(s) == extract_from_sentence(s)
+
+    def test_detect_mentions_offsets(self):
+        sent = "The engine scans the large table."
+        ms = detect_mentions(sent)
+        by_text = {m["mention"]: m for m in ms}
+        assert "engine" in by_text and "large table" in by_text
+        for m in ms:
+            assert sent[m["start"] : m["end"]].startswith(m["mention"].split(" ")[0])

@@ -1,0 +1,113 @@
+"""Connected components, canonicalization, and linking unit tests
+(SURVEY.md §2.3 J7, §2.10 D7/D8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from relation_extraction_spark.operators.canonicalize import canonicalize
+from relation_extraction_spark.operators.connected_components import (
+    connected_components,
+)
+from relation_extraction_spark.operators.linking import link_mentions
+from relation_extraction_spark.sources.dictionary import entity_dictionary
+
+
+def _components(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.component for r in connected_components(df).collect()}
+
+
+def test_cc_chain(spark):
+    # path graph 1-2-3-4-5 -> one component rooted at 1
+    got = _components(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {n: 1 for n in [1, 2, 3, 4, 5]}
+
+
+def test_cc_two_components_and_star(spark):
+    got = _components(spark, [(10, 11), (11, 12), (20, 21), (22, 21), (23, 21)])
+    assert {got[10], got[11], got[12]} == {10}
+    assert {got[20], got[21], got[22], got[23]} == {20}
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    got = _components(spark, [(2, 1), (1, 2), (2, 3), (3, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_partition_invariance(spark):
+    edges = [(i, i + 1) for i in range(0, 50, 2)] + [(i + 1, i + 2) for i in range(0, 48, 2)]
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    df8 = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    a = sorted(map(tuple, connected_components(df1).collect()))
+    b = sorted(map(tuple, connected_components(df8).collect()))
+    assert a == b
+
+
+def test_canonicalize_merges_near_duplicate_forms(spark):
+    mentions = spark.createDataFrame(
+        [
+            ("u1", 0, "Apache Spark", 0, 5),
+            ("u2", 0, "apache  spark", 0, 5),
+            ("u3", 0, "apache spark engine", 0, 5),
+            ("u4", 0, "DuckDB", 0, 5),
+        ],
+        "url string, sent_id int, mention string, start int, end int",
+    )
+    linked = spark.createDataFrame(
+        [], "url string, sent_id int, mention string, entity_id long, score double"
+    )
+    entities, mapping = canonicalize(mentions, linked, threshold=0.5)
+    canon = {r.form: r.canonical_id for r in mapping.collect()}
+    # normalization already folds case/whitespace -> same form
+    assert canon["apache spark"] == canon["apache spark engine"]
+    assert canon["duckdb"] != canon["apache spark"]
+    ents = {tuple(r.surface_forms) for r in entities.collect()}
+    assert ("apache spark", "apache spark engine") in ents
+
+
+def test_canonicalize_dictionary_star_edges(spark):
+    """Forms the linker resolved to the same entity merge even when
+    string-dissimilar (the Environment's cross-sentence topic merge)."""
+    mentions = spark.createDataFrame(
+        [("u1", 0, "Big Query Engine", 0, 5), ("u1", 1, "BQE", 0, 3)],
+        "url string, sent_id int, mention string, start int, end int",
+    )
+    linked = spark.createDataFrame(
+        [("u1", 0, "Big Query Engine", 77, 0.9), ("u1", 1, "BQE", 77, 0.8)],
+        "url string, sent_id int, mention string, entity_id long, score double",
+    )
+    _, mapping = canonicalize(mentions, linked, threshold=0.9)
+    canon = {r.form: r.canonical_id for r in mapping.collect()}
+    assert canon["big query engine"] == canon["bqe"]
+
+
+def test_link_mentions_top1_and_nil(spark):
+    dictionary = entity_dictionary(spark)
+    sample = dictionary.limit(2).collect()
+    assert sample, "dictionary must be non-empty"
+    known = sample[0]["alias_norm"]
+    mentions = spark.createDataFrame(
+        [("u1", 0, known, 0, 5), ("u1", 0, "zz unknown thing", 6, 20)],
+        "url string, sent_id int, mention string, start int, end int",
+    )
+    got = link_mentions(mentions, dictionary)
+    rows = {r.mention: r for r in got.collect()}
+    assert got.count() == 2  # exactly one row per input mention
+    assert rows[known].entity_id is not None and rows[known].score > 0
+    assert rows["zz unknown thing"].entity_id is None
+
+
+def test_link_deterministic_tiebreak(spark):
+    """Two candidates with identical score -> smallest entity_id wins."""
+    dictionary = spark.createDataFrame(
+        [("acme", "acme", 5, 0.5), ("acme", "acme", 3, 0.5)],
+        "alias_norm string, canonical_name string, entity_id long, prior double",
+    )
+    mentions = spark.createDataFrame(
+        [("u1", 0, "Acme", 0, 4)],
+        "url string, sent_id int, mention string, start int, end int",
+    )
+    for _ in range(2):
+        rows = link_mentions(mentions, dictionary).collect()
+        assert len(rows) == 1 and rows[0].entity_id == 3
