@@ -1145,3 +1145,51 @@ def q_kg_edges(spark, sf):
     linked = link_mentions(mentions, entity_dictionary(spark))
     _entities, mapping = canonicalize(mentions, linked, triples)
     return materialize_edges(triples, mapping)
+
+
+# -------------------------------------------------- §2.9 streaming module
+# The SAME transform objects power readStream jobs (streaming/jobs.py);
+# registering them here in batch mode puts the streaming module under the
+# DuckDB oracle gate (tests/test_streaming.py proves stream == batch).
+
+
+@q(
+    "stream_tumbling_watermarked",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start, "
+    "event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def q_stream_tumbling(spark, sf):
+    from ..streaming.jobs import tumbling_counts
+
+    out = tumbling_counts(T(spark, sf, "events"), window="1 hour")
+    return out.select(
+        F.date_format("w_start", TS_FMT_SPARK).alias("w_start"),
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+@q(
+    "stream_session_window_native",
+    "WITH flagged AS (SELECT user_id, ts, CASE WHEN epoch(ts) - "
+    "epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 "
+    "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "THEN 1 ELSE 0 END AS new_s FROM events), "
+    "sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged) "
+    "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start, "
+    "count(*) AS n FROM sess GROUP BY user_id, sid",
+)
+def q_stream_session_native(spark, sf):
+    # F.session_window (the true streaming primitive) against the
+    # lag/cumsum islands formulation in DuckDB: starts and sizes agree.
+    from ..streaming.jobs import session_counts
+
+    out = session_counts(T(spark, sf, "events"), gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("s_start", TS_FMT_SPARK).alias("s_start"),
+        "n",
+    )

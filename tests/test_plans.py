@@ -1,0 +1,125 @@
+"""Physical-plan shape tests (SURVEY.md §4) — the 100 TB story is only
+real if Catalyst actually produces the plans the operators were written
+for: filters pushed to parquet, unused columns pruned from the scan,
+dimension joins broadcast, the extract stage shuffle-free, top-k as
+TakeOrderedAndProject. `.explain` output is the assertion surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from relation_extraction_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = QUERIES["filter_predicate"][0](spark, SF)
+    p = plan_of(df)
+    assert "PushedFilters: [" in p
+    assert "n_chars" in p.split("PushedFilters:")[1].split("]")[0]
+    # scan reads only the needed columns — not text/source
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "n_chars" in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark):
+    p = plan_of(QUERIES["join_broadcast"][0](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_linking_candidate_join_never_shuffles_mentions(spark):
+    """Entity linking's candidate-gen join must be broadcast: at 10^12
+    docs the mention side cannot shuffle on alias_norm."""
+    from relation_extraction_spark.operators.linking import link_mentions
+    from relation_extraction_spark.sources.dictionary import entity_dictionary
+
+    mentions = spark.createDataFrame(
+        [("u", 0, "spark", 0, 5)],
+        "url string, sent_id int, mention string, start int, end int",
+    )
+    p = plan_of(link_mentions(mentions, entity_dictionary(spark)))
+    assert "BroadcastHashJoin" in p
+
+
+def test_extract_stage_is_shuffle_free(spark):
+    """scan -> filter -> segment -> explode -> extract: ZERO Exchange
+    operators (embarrassingly parallel at any scale)."""
+    from relation_extraction_spark.operators.extract import triples_from_pages
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang"
+    )
+    p = plan_of(triples_from_pages(pages, lang="en"))
+    assert "Exchange" not in p
+
+
+def test_extract_never_reads_unused_columns(spark):
+    """Column pruning through the UDF chain: extracting triples from
+    `text` must not scan `source`/`n_chars` (at 100 TB the html/binary
+    columns dominate I/O; pruning them is mandatory)."""
+    from relation_extraction_spark.operators.extract import triples_from_pages
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang"
+    )
+    p = plan_of(triples_from_pages(pages, lang="en"))
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_topk_uses_take_ordered(spark):
+    """orderBy + limit must plan as TakeOrderedAndProject (per-partition
+    heap + single merge), never a global sort."""
+    p = plan_of(QUERIES["sort_global_limit"][0](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_flagship_top20_uses_take_ordered(spark):
+    from relation_extraction_spark.plans.flagship import top_triples
+
+    p = plan_of(top_triples(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_hash_agg_partial_final_and_codegen(spark):
+    """groupBy count plans as two-phase HashAggregate (map-side partial
+    combine) inside WholeStageCodegen spans."""
+    df = QUERIES["agg_hash_groupby"][0](spark, SF)
+    p = plan_of(df, "simple")
+    assert p.count("HashAggregate") >= 2
+    df.collect()  # finalize the AQE plan so codegen spans are visible
+    final = plan_of(df, "formatted")
+    assert "codegen id" in final  # whole-stage codegen spans present
+    assert "partial_count" in final  # map-side partial aggregation
+
+
+def test_aqe_and_arrow_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    )
+
+
+def test_pandas_udfs_are_arrow_vectorized_not_per_row(spark):
+    """BASELINE.json:L15 'no per-row Python': the NLP UDFs must plan as
+    ArrowEvalPython / MapInPandas, never BatchEvalPython (pickled
+    row-at-a-time)."""
+    from relation_extraction_spark.functions.htmltext import extract_text
+    from relation_extraction_spark.operators.extract import triples_from_pages
+
+    pages = spark.createDataFrame(
+        [("u", b"<p>hi</p>", "hi", "en")], "url string, html binary, text string, lang string"
+    )
+    p1 = plan_of(pages.select(extract_text("html")), "simple")
+    assert "ArrowEvalPython" in p1 and "BatchEvalPython" not in p1
+    p2 = plan_of(triples_from_pages(pages), "simple")
+    assert "MapInPandas" in p2 and "BatchEvalPython" not in p2
