@@ -1,0 +1,228 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched ``mapInPandas`` stages.
+
+No media libraries exist in this environment (and a 100 TB pipeline would
+ship them via the executor image anyway), so the *decode kernels* are
+pluggable: the default is a deterministic stub that parses the synthetic
+container format below, and ``decode_images(..., kernel=real_fn)`` swaps
+in a Pillow/ffmpeg-backed kernel unchanged — the Spark-side contract
+(schemas, batch iteration, partitioning, metadata passthrough) is the
+part this module makes real and tests cover.
+
+Scale notes:
+- Binary payloads NEVER pass through Python row-at-a-time: each
+  ``mapInPandas`` batch moves payloads as one Arrow binary column.
+- ``spark.sql.files.maxPartitionBytes`` governs split size; media tables
+  should also set a small ``arrow.maxRecordsPerBatch`` since rows are MBs.
+- Feature extraction drops the payload column as early as possible
+  (column pruning does the rest) — a features table is ~10^3x smaller
+  than its media table, so the shuffle after extract is cheap.
+
+Synthetic container format (deterministic fake, header || payload):
+    b"IMG1" w:int32 h:int32 c:uint8  payload = w*h*c bytes (seeded)
+    b"AUD1" sr:int32 n:int32         payload = n int16 samples
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+IMAGE_META_SCHEMA = (
+    "media_id long, width int, height int, channels int, "
+    "mean_lum double, phash long"
+)
+AUDIO_META_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, duration_s double, "
+    "rms double"
+)
+
+
+# ----------------------------------------------------------- synthetic blobs
+
+
+def fake_image_bytes(media_id: int, max_side: int = 32) -> bytes:
+    """Deterministic IMG1 container for tests/benchmarks."""
+    rng = np.random.default_rng(media_id)
+    w = int(rng.integers(4, max_side))
+    h = int(rng.integers(4, max_side))
+    c = 3
+    payload = rng.integers(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
+    return b"IMG1" + struct.pack("<iiB", w, h, c) + payload
+
+
+def fake_audio_bytes(media_id: int, max_samples: int = 4096) -> bytes:
+    rng = np.random.default_rng(media_id ^ 0xA0D10)
+    sr = 16_000
+    n = int(rng.integers(256, max_samples))
+    samples = rng.integers(-(1 << 15), 1 << 15, size=n, dtype=np.int16)
+    return b"AUD1" + struct.pack("<ii", sr, n) + samples.tobytes()
+
+
+def synthetic_media(
+    spark: SparkSession, n: int, kind: str = "image", parts: int | None = None
+) -> DataFrame:
+    """media(media_id long, kind string, payload binary) demo table."""
+    parts = parts or max(spark.sparkContext.defaultParallelism, 4)
+    maker = fake_image_bytes if kind == "image" else fake_audio_bytes
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series([kind] * len(ids), dtype=object),
+                    "payload": pd.Series([maker(i) for i in ids], dtype=object),
+                }
+            )
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema="media_id long, kind string, payload binary"
+    )
+
+
+# -------------------------------------------------------------- decode kernels
+
+
+def stub_image_kernel(payload: bytes) -> dict:
+    """Parse the IMG1 container; a real kernel would PIL-decode here. Any
+    unknown container raises — surfaced per-row as nulls by the caller."""
+    if payload[:4] != b"IMG1":
+        raise NotImplementedError(
+            "real image codecs are not installed; only the IMG1 stub "
+            "container is decodable in this environment"
+        )
+    w, h, c = struct.unpack("<iiB", payload[4:13])
+    arr = np.frombuffer(payload[13:], dtype=np.uint8).reshape(h * w, c)
+    lum = float(arr.mean())
+    # deterministic perceptual-ish hash: crc of the 8x8-downsampled plane
+    side = max(1, min(8, w))
+    small = arr[:, 0][: side * side]
+    return {
+        "width": w,
+        "height": h,
+        "channels": c,
+        "mean_lum": lum,
+        "phash": zlib.crc32(small.tobytes()) & 0x7FFFFFFF,
+    }
+
+
+def stub_audio_kernel(payload: bytes) -> dict:
+    if payload[:4] != b"AUD1":
+        raise NotImplementedError("only the AUD1 stub container is decodable")
+    sr, n = struct.unpack("<ii", payload[4:12])
+    samples = np.frombuffer(payload[12:], dtype=np.int16).astype(np.float64)
+    return {
+        "sample_rate": sr,
+        "n_samples": n,
+        "duration_s": n / sr,
+        "rms": float(np.sqrt((samples**2).mean())),
+    }
+
+
+# ------------------------------------------------------------- Spark plumbing
+
+
+def decode_images(
+    media: DataFrame,
+    kernel: Callable[[bytes], dict] = stub_image_kernel,
+) -> DataFrame:
+    """media -> image metadata/features. Payload column is consumed inside
+    the Arrow batch and never re-emitted (features table stays small)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ["media_id", "width", "height", "channels", "mean_lum", "phash"]}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    m = kernel(bytes(payload))
+                except (NotImplementedError, struct.error, ValueError):
+                    m = {}
+                out["media_id"].append(mid)
+                out["width"].append(m.get("width"))
+                out["height"].append(m.get("height"))
+                out["channels"].append(m.get("channels"))
+                out["mean_lum"].append(m.get("mean_lum"))
+                out["phash"].append(m.get("phash"))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+def decode_audio(
+    media: DataFrame,
+    kernel: Callable[[bytes], dict] = stub_audio_kernel,
+) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    m = kernel(bytes(payload))
+                except (NotImplementedError, struct.error, ValueError):
+                    m = {}
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": m.get("sample_rate"),
+                        "n_samples": m.get("n_samples"),
+                        "duration_s": m.get("duration_s"),
+                        "rms": m.get("rms"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
+def resize_images(media: DataFrame, side: int = 8) -> DataFrame:
+    """Resize = nearest-neighbor downsample of the IMG1 payload; emits a
+    new IMG1 container (binary-in/binary-out transform shape — the same
+    plumbing a real thumbnailer uses)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"IMG1":
+                    continue
+                w, h, c = struct.unpack("<iiB", b[4:13])
+                arr = np.frombuffer(b[13:], dtype=np.uint8).reshape(h, w, c)
+                ys = np.linspace(0, h - 1, min(side, h)).astype(int)
+                xs = np.linspace(0, w - 1, min(side, w)).astype(int)
+                small = arr[np.ix_(ys, xs)]
+                sh, sw = small.shape[0], small.shape[1]
+                blobs.append(
+                    b"IMG1" + struct.pack("<iiB", sw, sh, c) + small.tobytes()
+                )
+                ids.append(mid)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(run, schema="media_id long, payload binary")
+
+
+def near_dup_images(meta: DataFrame) -> DataFrame:
+    """Image near-dup candidates by identical phash (the binary analogue
+    of exact text dedup; at scale this groupBy is the only shuffle)."""
+    from pyspark.sql import functions as F
+
+    return (
+        meta.filter(F.col("phash").isNotNull())
+        .groupBy("phash")
+        .agg(F.sort_array(F.collect_list("media_id")).alias("media_ids"))
+        .filter(F.size("media_ids") > 1)
+    )

@@ -1193,3 +1193,35 @@ def q_stream_session_native(spark, sf):
         F.date_format("s_start", TS_FMT_SPARK).alias("s_start"),
         "n",
     )
+
+
+# ------------------------------------------------- multimodal binary columns
+# No media fixture table exists, so these run over the deterministic
+# synthetic containers (operators/multimodal.py) — rows-only checks; the
+# decode math itself is pinned by tests/test_multimodal.py.
+
+
+@q("multimodal_image_meta")
+def q_multimodal_meta(spark, sf):
+    from ..operators.multimodal import decode_images, synthetic_media
+
+    return decode_images(synthetic_media(spark, 200, kind="image"))
+
+
+@q("multimodal_near_dup_phash")
+def q_multimodal_neardup(spark, sf):
+    from ..operators.multimodal import (
+        decode_images,
+        near_dup_images,
+        synthetic_media,
+    )
+    from pyspark.sql import functions as F
+
+    base = synthetic_media(spark, 100, kind="image")
+    # clone ids 0..19 under new ids -> guaranteed phash collisions
+    clones = base.filter(F.col("media_id") < 20).withColumn(
+        "media_id", F.col("media_id") + F.lit(10_000)
+    )
+    return near_dup_images(decode_images(base.unionByName(clones))).select(
+        "phash", F.array_join(F.transform("media_ids", lambda x: x.cast("string")), "|").alias("media_ids")
+    )

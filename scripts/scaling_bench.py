@@ -1,0 +1,154 @@
+"""Two-cluster-size scaling evidence (BASELINE.json:L14; BASELINE.md §plan).
+
+Runs the SAME spark-submit job (main.py, --py-files kg.zip) on the SAME
+pre-generated corpus at local[8] (N) and local[32] (4N), asserts the two
+runs produce identical triples (parallelism invariance), and reports
+throughput at both plus efficiency = (thr_4N / thr_N) / 4 into
+BENCH_scaling.json and a measured-results section of BASELINE.md.
+
+Shuffle partitions scale with core count (2x cores) exactly as they
+would per-cluster-size in production; everything else is identical.
+
+Usage:  python scripts/scaling_bench.py [--pages 20000] [--repeats 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # script lives in scripts/; package at repo root
+    sys.path.insert(0, REPO)
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def build_zip(path: str) -> None:
+    pkg = os.path.join(REPO, "relation_extraction_spark")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for base, _dirs, files in os.walk(pkg):
+            if "__pycache__" in base:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(base, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+
+def gen_corpus(pages: int, out: str) -> None:
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    code = (
+        "from relation_extraction_spark.session import get_spark\n"
+        "from relation_extraction_spark.sources.corpus import synthetic_pages\n"
+        "spark = get_spark(app_name='gen', master='local[32]')\n"
+        f"synthetic_pages(spark, {pages}, seed=42, skew=0.1, dup_frac=0.05,"
+        " parts=64).write.mode('overwrite').parquet(%r)\n" % out
+        + "spark.stop()\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
+
+
+def run_once(cores: int, corpus: str, out: str, zip_path: str) -> dict:
+    shutil.rmtree(out, ignore_errors=True)
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", f"local[{cores}]",
+        "--driver-memory", "16g",
+        "--py-files", zip_path,
+        os.path.join(REPO, "main.py"),
+        "--stage", "all",
+        "--out", out,
+        "--input-parquet", corpus,
+        "--shuffle-partitions", str(2 * cores),
+        "--no-resume",
+        "--run-id", f"scale-{cores}",
+    ]
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
+    )
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
+        raise RuntimeError(f"spark-submit local[{cores}] failed")
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    rec["cores"] = cores
+    rec["submit_wall_s"] = round(wall, 2)
+    return rec
+
+
+def table_hash(out: str, table: str) -> tuple[int, int]:
+    """(row_count, order-insensitive content hash) of a snapshot table."""
+    import duckdb
+
+    from relation_extraction_spark.sources.lakehouse import SnapshotTable
+
+    t = SnapshotTable(out, table)
+    m = t.latest_manifest()
+    d = os.path.join(t.dir, m["data_dir"])
+    con = duckdb.connect()
+    row = con.sql(
+        "SELECT count(*) AS n, sum(hash(t::VARCHAR)) AS h FROM "
+        f"read_parquet('{d}/*.parquet') t"
+    ).fetchone()
+    return int(row[0]), int(row[1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=20000)
+    ap.add_argument("--small", type=int, default=8)
+    ap.add_argument("--large", type=int, default=32)
+    args = ap.parse_args()
+
+    zip_path = "/tmp/kg.zip"
+    corpus = f"/tmp/kg_scale_corpus_{args.pages}"
+    build_zip(zip_path)
+    gen_corpus(args.pages, corpus)
+
+    out_s = f"/tmp/kg_scale_out_{args.small}"
+    out_l = f"/tmp/kg_scale_out_{args.large}"
+    rec_s = run_once(args.small, corpus, out_s, zip_path)
+    rec_l = run_once(args.large, corpus, out_l, zip_path)
+
+    # parallelism invariance: identical triples & edges at both sizes
+    mismatches = []
+    for t in ["triples", "entities", "edges"]:
+        hs, hl = table_hash(out_s, t), table_hash(out_l, t)
+        if hs != hl:
+            mismatches.append((t, hs, hl))
+    thr_s = rec_s["triples_total"] / rec_s["wall_s"]
+    thr_l = rec_l["triples_total"] / rec_l["wall_s"]
+    eff = (thr_l / thr_s) / (args.large / args.small)
+    result = {
+        "pages": args.pages,
+        "small_cores": args.small,
+        "large_cores": args.large,
+        "wall_s_small": rec_s["wall_s"],
+        "wall_s_large": rec_l["wall_s"],
+        "triples_total": rec_l["triples_total"],
+        "thr_small_triples_per_sec": round(thr_s, 1),
+        "thr_large_triples_per_sec": round(thr_l, 1),
+        "scaling_efficiency": round(eff, 3),
+        "parallelism_invariant": not mismatches,
+        "mismatches": mismatches,
+        "stages_small": rec_s["stages"],
+        "stages_large": rec_l["stages"],
+    }
+    print(json.dumps(result, indent=2))
+    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as fh:
+        json.dump(result, fh, indent=2)
+    shutil.rmtree(out_s, ignore_errors=True)
+    shutil.rmtree(out_l, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
