@@ -26,6 +26,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,6 +46,24 @@ from ..sources.lakehouse import SnapshotTable
 
 STAGES = ["ingest", "extract", "link", "canonicalize", "materialize", "metrics"]
 N_PART_KEYS = 64  # lineage granularity: pmod(xxhash64(url), 64)
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("run_id", pa.string()),
+        ("stage", pa.string()),
+        ("part_key", pa.int32()),
+        ("n_rows", pa.int64()),
+        ("wall_ms", pa.int64()),
+    ]
+)
+METRICS_SCHEMA = pa.schema(
+    [
+        ("metric", pa.string()),
+        ("value", pa.float64()),
+        ("stage", pa.string()),
+        ("run_id", pa.string()),
+    ]
+)
 
 
 @dataclass
@@ -74,57 +93,82 @@ class Pipeline:
         self.tables = {
             name: SnapshotTable(cfg.out, name)
             for name in [
-                "web_pages", "triples", "mentions", "linked_mentions",
-                "entities", "mapping", "edges", "lineage", "metrics",
+                "web_pages", "sentences", "triples", "mentions",
+                "linked_mentions", "entities", "mapping", "edges",
+                "lineage", "metrics",
             ]
         }
 
     # ------------------------------------------------------------- plumbing
 
-    def _lineage(self, df: DataFrame, stage: str, key: str = "url") -> DataFrame:
-        return (
+    def _append_lineage(
+        self, df: DataFrame, stage: str, key: str, wall_ms: int
+    ) -> None:
+        """Per-partition row counts for a COMMITTED table (callers pass
+        the committed read, never the uncommitted plan — lineage is a
+        rescan of written parquet, not a recompute of the stage's
+        UDF/shuffle chain). The aggregate is tiny (N_PART_KEYS rows), so
+        it is collected and appended driver-side: one small Spark agg
+        plus one pyarrow write, instead of a distributed 64-row write."""
+        agg = (
             df.groupBy(_part_key(key).alias("part_key"))
             .agg(F.count(F.lit(1)).alias("n_rows"))
-            .select(
-                F.lit(self.cfg.run_id).alias("run_id"),
-                F.lit(stage).alias("stage"),
-                "part_key",
-                "n_rows",
-                F.lit(0).cast("long").alias("wall_ms"),
-            )
+            .collect()
         )
+        rows = [
+            {
+                "run_id": self.cfg.run_id,
+                "stage": stage,
+                "part_key": int(r["part_key"]),
+                "n_rows": int(r["n_rows"]),
+                "wall_ms": wall_ms,
+            }
+            for r in agg
+        ]
+        self.tables["lineage"].append_rows(rows, LINEAGE_SCHEMA, stage=stage)
 
-    def _metric(self, name: str, value: float, stage: str, wall_ms: int) -> DataFrame:
-        return self.spark.createDataFrame(
+    def _append_metrics(self, rows: list[tuple[str, float]], stage: str) -> None:
+        self.tables["metrics"].append_rows(
             [
-                (name, float(value), stage, self.cfg.run_id),
-                (f"{stage}_wall_ms", float(wall_ms), stage, self.cfg.run_id),
+                {
+                    "metric": name,
+                    "value": float(value),
+                    "stage": stage,
+                    "run_id": self.cfg.run_id,
+                }
+                for name, value in rows
             ],
-            "metric string, value double, stage string, run_id string",
+            METRICS_SCHEMA,
+            stage=stage,
         )
 
     def _commit_stage(
         self,
         stage: str,
         outputs: dict[str, DataFrame],
-        headline: tuple[str, float],
+        headline: tuple[str, float | str],
         t0: float,
-        lineage_src: tuple[DataFrame, str] | None = None,
+        lineage_table: str | None = None,
+        lineage_key: str = "url",
     ) -> dict:
+        """Commit outputs, then derive lineage + the headline metric from
+        the COMMITTED snapshots (manifest row counts / parquet rescans) so
+        no stage plan executes more than once (SURVEY.md §4 "never
+        collect"; write-once-derive-from-files is also the only sane
+        pattern at 100 TB)."""
         info = {}
         for tname, df in outputs.items():
             info[tname] = self.tables[tname].commit(df, stage=stage)
+        # headline value may reference a committed table's manifest count
+        name, value = headline
+        if isinstance(value, str):
+            value = info[value]["n_rows"]
         wall_ms = int((time.time() - t0) * 1000)
-        if lineage_src is not None:
-            ldf, key = lineage_src
-            self.tables["lineage"].append(
-                self._lineage(ldf, stage, key).withColumn(
-                    "wall_ms", F.lit(wall_ms).cast("long")
-                ),
-                stage=stage,
-            )
-        self.tables["metrics"].append(
-            self._metric(headline[0], headline[1], stage, wall_ms), stage=stage
+        if lineage_table is not None:
+            committed = self.tables[lineage_table].read(self.spark)
+            self._append_lineage(committed, stage, lineage_key, wall_ms)
+        self._append_metrics(
+            [(name, value), (f"{stage}_wall_ms", wall_ms)], stage
         )
         info["wall_ms"] = wall_ms
         return info
@@ -151,41 +195,52 @@ class Pipeline:
             )
         # as-of dedup of recrawls: keep latest warc_ts per url (J9)
         pages = latest_per_key(raw, ["url"], "warc_ts")
-        n = pages.count()
         return self._commit_stage(
             "ingest",
             {"web_pages": pages},
-            ("pages_ingested", n),
+            ("pages_ingested", "web_pages"),
             t0,
-            lineage_src=(pages, "url"),
+            lineage_table="web_pages",
         )
 
     def stage_extract(self) -> dict:
-        if self.cfg.resume and self._done("triples", "mentions"):
+        if self.cfg.resume and self._done("sentences", "triples", "mentions"):
             return {"skipped": True}
         t0 = time.time()
         pages = self.tables["web_pages"].read(self.spark)
         # D1: extracted text MUST byte-match the stored text per url
         # (BASELINE.json:L15). We extract from html and *use* the
         # extraction downstream; the invariant count is a hard metric.
+        # The html->text pass runs ONCE: it lands in the committed
+        # sentences table (with a per-page invariant flag aggregated from
+        # the same pass), and triples/mentions are derived from that
+        # committed table — the expensive UDFs never re-execute.
+        from pyspark import StorageLevel
+
         extracted = pages.select(
             "url",
             "lang",
             extract_text("html").alias("text"),
-            F.col("text").alias("text_expected"),
+            (extract_text("html") == F.col("text")).alias("text_ok"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sents = sentences_from_pages(
+            extracted.filter(F.col("text_ok")), lang="en"
         )
-        n_mismatch = extracted.filter(
-            F.col("text") != F.col("text_expected")
-        ).count()
-        sents = sentences_from_pages(extracted, lang="en")
-        triples = triples_from_sentences(sents)
-        mentions = mentions_from_sentences(sents)
-        info = self._commit_stage(
-            "extract",
-            {"triples": triples, "mentions": mentions},
-            ("text_invariant_mismatches", n_mismatch),
-            t0,
-            lineage_src=(triples, "url"),
+        info = {"sentences": self.tables["sentences"].commit(sents, stage="extract")}
+        n_mismatch = extracted.filter(~F.col("text_ok")).count()
+        extracted.unpersist()
+        committed_sents = self.tables["sentences"].read(self.spark)
+        info.update(
+            self._commit_stage(
+                "extract",
+                {
+                    "triples": triples_from_sentences(committed_sents),
+                    "mentions": mentions_from_sentences(committed_sents),
+                },
+                ("text_invariant_mismatches", n_mismatch),
+                t0,
+                lineage_table="triples",
+            )
         )
         info["n_mismatch"] = n_mismatch
         return info
@@ -196,14 +251,14 @@ class Pipeline:
         t0 = time.time()
         mentions = self.tables["mentions"].read(self.spark)
         linked = link_mentions(mentions, entity_dictionary(self.spark))
-        n_linked = linked.filter(F.col("entity_id").isNotNull()).count()
-        return self._commit_stage(
+        info = self._commit_stage(
             "link",
             {"linked_mentions": linked},
-            ("mentions_linked", n_linked),
+            ("linked_mentions_rows", "linked_mentions"),
             t0,
-            lineage_src=(linked, "url"),
+            lineage_table="linked_mentions",
         )
+        return info
 
     def stage_canonicalize(self) -> dict:
         if self.cfg.resume and self._done("entities", "mapping"):
@@ -215,11 +270,10 @@ class Pipeline:
         entities, mapping = canonicalize(
             mentions, linked, triples, threshold=self.cfg.lsh_threshold
         )
-        n_entities = entities.count()
         return self._commit_stage(
             "canonicalize",
             {"entities": entities, "mapping": mapping},
-            ("entities_canonical", n_entities),
+            ("entities_canonical", "entities"),
             t0,
         )
 
@@ -233,9 +287,8 @@ class Pipeline:
         edges = materialize_edges(triples, mapping).unionByName(
             cooccurrence_edges(linked, mapping, self.cfg.cooccur_window)
         )
-        n_edges = edges.count()
         return self._commit_stage(
-            "materialize", {"edges": edges}, ("edges_materialized", n_edges), t0
+            "materialize", {"edges": edges}, ("edges_materialized", "edges"), t0
         )
 
     def stage_metrics(self) -> dict:
@@ -247,17 +300,14 @@ class Pipeline:
             F.avg("conf").alias("avg_conf"),
         ).collect()[0]
         wall_ms = int((time.time() - t0) * 1000)
-        rows = [
-            ("triples_total", float(stats["n"]), "metrics", self.cfg.run_id),
-            ("docs_with_triples_approx", float(stats["docs"]), "metrics", self.cfg.run_id),
-            ("avg_conf", float(stats["avg_conf"] or 0.0), "metrics", self.cfg.run_id),
-            ("metrics_wall_ms", float(wall_ms), "metrics", self.cfg.run_id),
-        ]
-        self.tables["metrics"].append(
-            self.spark.createDataFrame(
-                rows, "metric string, value double, stage string, run_id string"
-            ),
-            stage="metrics",
+        self._append_metrics(
+            [
+                ("triples_total", float(stats["n"])),
+                ("docs_with_triples_approx", float(stats["docs"])),
+                ("avg_conf", float(stats["avg_conf"] or 0.0)),
+                ("metrics_wall_ms", float(wall_ms)),
+            ],
+            "metrics",
         )
         return {"triples_total": stats["n"], "wall_ms": wall_ms}
 

@@ -8,6 +8,14 @@ list files from the newest manifest only, so half-written data is never
 visible and a killed run resumes by re-reading the last committed
 snapshot. Each manifest records parentage + row counts (lineage).
 
+Cheapness invariants (they matter for scaling: table-metadata work must
+stay O(files written), never O(table) and never a distributed job):
+- ``append`` writes ONLY the new rows' files; the manifest carries the
+  cumulative file list (parent files + new files) — no read-modify-write
+  of previous data (Iceberg fast-append).
+- row counts come from parquet footers read driver-side via pyarrow —
+  no Spark count() job per commit.
+
 Layout:
     <root>/<table>/data/snap-<n>-<token>/part-*.parquet
     <root>/<table>/_manifests/snapshot-<n>.json
@@ -20,7 +28,13 @@ import os
 import time
 import uuid
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _footer_rows(path: str) -> int:
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 class SnapshotTable:
@@ -51,6 +65,45 @@ class SnapshotTable:
     def exists(self) -> bool:
         return self.latest_manifest() is not None
 
+    def _publish(self, manifest: dict, token: str) -> dict:
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = os.path.join(self.manifest_dir, f".tmp-{token}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        # atomic publish: rename within the same directory/filesystem
+        os.rename(
+            tmp,
+            os.path.join(
+                self.manifest_dir, f"snapshot-{manifest['snapshot_id']}.json"
+            ),
+        )
+        return manifest
+
+    def _write_data(
+        self,
+        df: DataFrame,
+        snap_id: int,
+        token: str,
+        partition_by: list[str] | None,
+    ) -> tuple[list[str], int]:
+        """Write df's files under a fresh snapshot dir; return (relative
+        file list, row count from parquet footers — no Spark job)."""
+        data_dir = os.path.join(self.dir, "data", f"snap-{snap_id}-{token}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        files, n_rows = [], 0
+        for base, _dirs, names in os.walk(data_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    full = os.path.join(base, n)
+                    files.append(os.path.relpath(full, self.dir))
+                    n_rows += _footer_rows(full)
+        return sorted(files), n_rows
+
     # ------------------------------------------------------------- write/read
 
     def commit(
@@ -60,55 +113,86 @@ class SnapshotTable:
         extra: dict | None = None,
         partition_by: list[str] | None = None,
     ) -> dict:
-        """Write data files, then atomically publish the manifest."""
+        """Full-replace snapshot: write data files, atomically publish."""
         parent = self.latest_manifest()
         snap_id = (parent["snapshot_id"] + 1) if parent else 0
         token = uuid.uuid4().hex[:8]
-        data_dir = os.path.join(self.dir, "data", f"snap-{snap_id}-{token}")
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
         t0 = time.time()
-        writer.parquet(data_dir)
-        files = []
-        for base, _dirs, names in os.walk(data_dir):
-            for n in names:
-                if n.endswith(".parquet"):
-                    files.append(os.path.relpath(os.path.join(base, n), self.dir))
-        spark = df.sparkSession
-        n_rows = spark.read.parquet(data_dir).count()
+        files, n_rows = self._write_data(df, snap_id, token, partition_by)
         manifest = {
             "table": self.name,
             "snapshot_id": snap_id,
             "parent_id": parent["snapshot_id"] if parent else None,
-            "data_dir": os.path.relpath(data_dir, self.dir),
-            "files": sorted(files),
+            "files": files,
             "n_rows": n_rows,
             "stage": stage,
+            "operation": "replace",
             "wall_ms": int((time.time() - t0) * 1000),
             "created_at_unix": int(time.time()),
             "extra": extra or {},
         }
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        tmp = os.path.join(self.manifest_dir, f".tmp-{token}.json")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=1, sort_keys=True)
-            fh.flush()
-            os.fsync(fh.fileno())
-        # atomic publish: rename within the same directory/filesystem
-        os.rename(tmp, os.path.join(self.manifest_dir, f"snapshot-{snap_id}.json"))
-        return manifest
-
-    def read(self, spark: SparkSession) -> DataFrame:
-        m = self.latest_manifest()
-        if m is None:
-            raise FileNotFoundError(f"no committed snapshot for table {self.name}")
-        return spark.read.parquet(os.path.join(self.dir, m["data_dir"]))
+        return self._publish(manifest, token)
 
     def append(self, df: DataFrame, stage: str = "") -> dict:
-        """Append = union with previous snapshot, commit as new snapshot.
-        (Metrics/lineage tables are tiny; full rewrite is fine there. Data
-        tables use partition-level resume instead — see pipeline.py.)"""
-        if self.exists():
-            df = self.read(df.sparkSession).unionByName(df)
-        return self.commit(df, stage=stage)
+        """Fast-append snapshot: write ONLY the new rows' files; manifest
+        = parent file list + new files. Previous data is never rewritten."""
+        parent = self.latest_manifest()
+        snap_id = (parent["snapshot_id"] + 1) if parent else 0
+        token = uuid.uuid4().hex[:8]
+        t0 = time.time()
+        new_files, new_rows = self._write_data(df, snap_id, token, None)
+        manifest = {
+            "table": self.name,
+            "snapshot_id": snap_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "files": sorted((parent["files"] if parent else []) + new_files),
+            "n_rows": (parent["n_rows"] if parent else 0) + new_rows,
+            "stage": stage,
+            "operation": "append",
+            "wall_ms": int((time.time() - t0) * 1000),
+            "created_at_unix": int(time.time()),
+            "extra": {},
+        }
+        return self._publish(manifest, token)
+
+    def append_rows(self, rows: list[dict], schema: "pa.Schema", stage: str = "") -> dict:
+        """Driver-side fast-append of a handful of rows (metrics/lineage):
+        one pyarrow parquet write + manifest publish, zero Spark jobs.
+        At cluster scale these tiny control-plane writes come from the
+        driver anyway — routing them through executors is pure overhead."""
+        parent = self.latest_manifest()
+        snap_id = (parent["snapshot_id"] + 1) if parent else 0
+        token = uuid.uuid4().hex[:8]
+        t0 = time.time()
+        data_dir = os.path.join(self.dir, "data", f"snap-{snap_id}-{token}")
+        os.makedirs(data_dir, exist_ok=True)
+        path = os.path.join(data_dir, "part-00000.parquet")
+        cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+        pq.write_table(pa.table(cols, schema=schema), path)
+        rel = os.path.relpath(path, self.dir)
+        manifest = {
+            "table": self.name,
+            "snapshot_id": snap_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "files": sorted((parent["files"] if parent else []) + [rel]),
+            "n_rows": (parent["n_rows"] if parent else 0) + len(rows),
+            "stage": stage,
+            "operation": "append",
+            "wall_ms": int((time.time() - t0) * 1000),
+            "created_at_unix": int(time.time()),
+            "extra": {},
+        }
+        return self._publish(manifest, token)
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Read the file list of the newest (or a pinned) snapshot."""
+        if snapshot_id is None:
+            m = self.latest_manifest()
+        else:
+            with open(
+                os.path.join(self.manifest_dir, f"snapshot-{snapshot_id}.json")
+            ) as fh:
+                m = json.load(fh)
+        if m is None:
+            raise FileNotFoundError(f"no committed snapshot for table {self.name}")
+        return spark.read.parquet(*[os.path.join(self.dir, f) for f in m["files"]])

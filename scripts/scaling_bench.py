@@ -93,11 +93,11 @@ def table_hash(out: str, table: str) -> tuple[int, int]:
 
     t = SnapshotTable(out, table)
     m = t.latest_manifest()
-    d = os.path.join(t.dir, m["data_dir"])
+    files = [os.path.join(t.dir, f) for f in m["files"]]
     con = duckdb.connect()
     row = con.sql(
         "SELECT count(*) AS n, sum(hash(t::VARCHAR)) AS h FROM "
-        f"read_parquet('{d}/*.parquet') t"
+        f"read_parquet({files!r}) t"
     ).fetchone()
     return int(row[0]), int(row[1])
 

@@ -35,6 +35,22 @@ def test_cc_duplicate_and_reversed_edges(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The union-find fast path and the alternating-star iterative-join
+    path must return identical (node, component) maps."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = sorted(map(tuple, connected_components(df).collect()))
+    dist = sorted(
+        map(tuple, connected_components(df, driver_threshold=0).collect())
+    )
+    assert fast == dist
+
+
 def test_cc_partition_invariance(spark):
     edges = [(i, i + 1) for i in range(0, 50, 2)] + [(i + 1, i + 2) for i in range(0, 48, 2)]
     df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)

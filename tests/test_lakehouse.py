@@ -25,15 +25,18 @@ def test_commit_read_roundtrip(spark, tmp_path):
 def test_snapshot_isolation_readers_see_committed_only(spark, tmp_path):
     t = SnapshotTable(str(tmp_path), "t")
     t.commit(spark.range(5), stage="s1")
-    # a second commit produces a NEW data dir; the old snapshot's files
+    # a second commit produces NEW data files; the old snapshot's files
     # remain untouched (time travel by manifest id stays possible)
     m0 = t.latest_manifest()
     t.commit(spark.range(7), stage="s2")
     m1 = t.latest_manifest()
     assert m1["snapshot_id"] == 1 and m1["parent_id"] == 0
-    assert m1["data_dir"] != m0["data_dir"]
-    assert os.path.isdir(os.path.join(t.dir, m0["data_dir"]))
+    assert not set(m0["files"]) & set(m1["files"])
+    for f in m0["files"]:
+        assert os.path.exists(os.path.join(t.dir, f))
     assert t.read(spark).count() == 7
+    # time travel: read the previous snapshot by id
+    assert t.read(spark, snapshot_id=0).count() == 5
 
 
 def test_no_partial_manifest_visible(spark, tmp_path):
@@ -49,6 +52,11 @@ def test_no_partial_manifest_visible(spark, tmp_path):
 def test_append_unions_previous(spark, tmp_path):
     t = SnapshotTable(str(tmp_path), "t")
     t.append(spark.range(3), stage="a")
+    m0 = t.latest_manifest()
     t.append(spark.range(3, 5), stage="b")
+    m1 = t.latest_manifest()
     assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2, 3, 4]
-    assert t.latest_manifest()["snapshot_id"] == 1
+    assert m1["snapshot_id"] == 1
+    # fast-append: old files are reused, never rewritten
+    assert set(m0["files"]) < set(m1["files"])
+    assert m1["n_rows"] == 5 and m1["operation"] == "append"
