@@ -24,9 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .connected_components import connected_components
-from .dedup import _perm_params, normalize_text_expr
-
-_MERSENNE = (1 << 61) - 1
+from .dedup import hash32_expr, minhash_aggs, normalize_text_expr
 
 
 def char_trigrams_expr(col) -> "F.Column":
@@ -84,25 +82,13 @@ def lsh_similarity_edges(
     each candidate pair is verified with exact trigram Jaccard.
     """
     rows = k // bands
-    params = _perm_params(k, seed)
     tri = forms.select(
         "form_id", char_trigrams_expr(F.col("form")).alias("tris")
     )
     sh = tri.select(
         "form_id", F.explode("tris").alias("t")
-    ).withColumn("h", F.xxhash64("t").cast("decimal(38,0)"))
-    aggs = [
-        F.min(
-            F.pmod(
-                (F.lit(a) * F.col("h") + F.lit(b)).cast("decimal(38,0)"),
-                F.lit(_MERSENNE),
-            )
-        )
-        .cast("long")
-        .alias(f"mh_{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = sh.groupBy("form_id").agg(*aggs)
+    ).withColumn("h", hash32_expr("t"))
+    sig = sh.groupBy("form_id").agg(*minhash_aggs("h", k, seed))
     banded = sig.select(
         "form_id",
         F.posexplode(

@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE = (1 << 61) - 1  # legacy constant (canonicalize import compat)
+_MERSENNE31 = (1 << 31) - 1
 
 
 def normalize_text_expr(col: str | Column) -> Column:
@@ -112,7 +113,13 @@ def ngram_jaccard_pairs(
 
 
 def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for k hash permutations (splitmix64)."""
+    """Deterministic (a, b) pairs for k hash permutations (splitmix64).
+
+    Sized so (a * h32 + b) stays inside a signed 64-bit long for any
+    32-bit ``h32``: a < 2^30, b < 2^31 -> product < 2^62. This keeps the
+    whole MinHash pipeline in JVM long arithmetic (codegen-friendly);
+    the earlier decimal(38,0) formulation was interpreter-bound and
+    allocation-heavy under 32 concurrent tasks."""
     out = []
     x = seed & 0xFFFFFFFFFFFFFFFF
     for _ in range(k):
@@ -122,10 +129,28 @@ def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
             z = x
             z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
             z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-            pair.append((z ^ (z >> 31)) % _MERSENNE)
+            pair.append((z ^ (z >> 31)))
         a, b = pair
-        out.append((a | 1, b))
+        out.append(((a % (1 << 30)) | 1, b % _MERSENNE31))
     return out
+
+
+def minhash_aggs(h_col: str, k: int, seed: int = 42) -> list[Column]:
+    """k min-hash aggregate expressions over a 32-bit hash column —
+    pure long arithmetic, map-side partial min, shared by document
+    dedup and surface-form canonicalization."""
+    return [
+        F.min(
+            F.pmod(F.lit(a) * F.col(h_col) + F.lit(b), F.lit(_MERSENNE31))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(k, seed))
+    ]
+
+
+def hash32_expr(col: str | Column) -> Column:
+    """xxhash64 folded to an unsigned 32-bit value (as long)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(1 << 32))
 
 
 def minhash_signature(
@@ -138,27 +163,16 @@ def minhash_signature(
 ) -> DataFrame:
     """doc -> array<long> of k min-hashes, all JVM-side.
 
-    h_i(s) = (a_i * xxhash64(s) + b_i) mod (2^61-1); signature element i
-    is min over the doc's shingles — k aggregations in ONE groupBy pass
-    (map-side partial min, no UDF, no per-row Python).
+    h_i(s) = (a_i * h32(s) + b_i) mod (2^31-1) over a 32-bit fold of
+    xxhash64; signature element i is min over the doc's shingles — k
+    aggregations in ONE groupBy pass (map-side partial min, long-only
+    arithmetic inside codegen, no UDF, no per-row Python).
     """
-    params = _perm_params(k, seed)
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(ngram_shingles(text_col, n)).alias("sh"),
-    ).withColumn("h", F.xxhash64("sh").cast("decimal(38,0)"))
-    aggs = [
-        F.min(
-            F.pmod(
-                (F.lit(a) * F.col("h") + F.lit(b)).cast("decimal(38,0)"),
-                F.lit(_MERSENNE),
-            )
-        )
-        .cast("long")
-        .alias(f"mh_{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = sh.groupBy("doc").agg(*aggs)
+    ).withColumn("h", hash32_expr("sh"))
+    sig = sh.groupBy("doc").agg(*minhash_aggs("h", k, seed))
     return sig.select(
         "doc", F.array(*[f"mh_{i}" for i in range(k)]).alias("signature")
     )

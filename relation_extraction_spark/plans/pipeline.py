@@ -52,6 +52,7 @@ LINEAGE_SCHEMA = pa.schema(
         ("run_id", pa.string()),
         ("stage", pa.string()),
         ("part_key", pa.int32()),
+        ("file", pa.string()),
         ("n_rows", pa.int64()),
         ("wall_ms", pa.int64()),
     ]
@@ -76,6 +77,12 @@ class PipelineConfig:
     lang_en: float = 0.85
     cooccur_window: int = 2
     lsh_threshold: float = 0.7
+    # file-level bucketing of big tables by url hash: keeps every
+    # downstream scan splittable into >= n_buckets tasks (AQE's
+    # coalescing would otherwise write few large single-row-group files
+    # and starve the Arrow-UDF stages), and co-locates url joins. On a
+    # real cluster this scales with executor count.
+    n_buckets: int = 64
     resume: bool = True
     run_id: str = "run-0"
     input_parquet: str | None = None  # pre-generated corpus (bench path)
@@ -101,29 +108,22 @@ class Pipeline:
 
     # ------------------------------------------------------------- plumbing
 
-    def _append_lineage(
-        self, df: DataFrame, stage: str, key: str, wall_ms: int
-    ) -> None:
-        """Per-partition row counts for a COMMITTED table (callers pass
-        the committed read, never the uncommitted plan — lineage is a
-        rescan of written parquet, not a recompute of the stage's
-        UDF/shuffle chain). The aggregate is tiny (N_PART_KEYS rows), so
-        it is collected and appended driver-side: one small Spark agg
-        plus one pyarrow write, instead of a distributed 64-row write."""
-        agg = (
-            df.groupBy(_part_key(key).alias("part_key"))
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .collect()
-        )
+    def _append_lineage(self, manifest: dict, stage: str, wall_ms: int) -> None:
+        """Per-FILE row counts straight from the committed manifest's
+        parquet footers (sources/lakehouse.py records them at write time)
+        — data tables are bucketed by url hash on write, so file == url
+        partition and this is per-partition lineage at ZERO extra cost:
+        no Spark job, no rescan. part_key is the file's bucket index."""
         rows = [
             {
                 "run_id": self.cfg.run_id,
                 "stage": stage,
-                "part_key": int(r["part_key"]),
-                "n_rows": int(r["n_rows"]),
+                "part_key": i,
+                "file": f,
+                "n_rows": int(n),
                 "wall_ms": wall_ms,
             }
-            for r in agg
+            for i, (f, n) in enumerate(sorted(manifest["file_rows"].items()))
         ]
         self.tables["lineage"].append_rows(rows, LINEAGE_SCHEMA, stage=stage)
 
@@ -149,7 +149,7 @@ class Pipeline:
         headline: tuple[str, float | str],
         t0: float,
         lineage_table: str | None = None,
-        lineage_key: str = "url",
+        lineage_key: str = "url",  # retained for API compat; file-level lineage ignores it
     ) -> dict:
         """Commit outputs, then derive lineage + the headline metric from
         the COMMITTED snapshots (manifest row counts / parquet rescans) so
@@ -165,8 +165,7 @@ class Pipeline:
             value = info[value]["n_rows"]
         wall_ms = int((time.time() - t0) * 1000)
         if lineage_table is not None:
-            committed = self.tables[lineage_table].read(self.spark)
-            self._append_lineage(committed, stage, lineage_key, wall_ms)
+            self._append_lineage(info[lineage_table], stage, wall_ms)
         self._append_metrics(
             [(name, value), (f"{stage}_wall_ms", wall_ms)], stage
         )
@@ -194,7 +193,9 @@ class Pipeline:
                 lang_en=self.cfg.lang_en,
             )
         # as-of dedup of recrawls: keep latest warc_ts per url (J9)
-        pages = latest_per_key(raw, ["url"], "warc_ts")
+        pages = latest_per_key(raw, ["url"], "warc_ts").repartition(
+            self.cfg.n_buckets, "url"
+        )
         return self._commit_stage(
             "ingest",
             {"web_pages": pages},
@@ -225,7 +226,7 @@ class Pipeline:
         ).persist(StorageLevel.MEMORY_AND_DISK)
         sents = sentences_from_pages(
             extracted.filter(F.col("text_ok")), lang="en"
-        )
+        ).repartition(self.cfg.n_buckets, "url")
         info = {"sentences": self.tables["sentences"].commit(sents, stage="extract")}
         n_mismatch = extracted.filter(~F.col("text_ok")).count()
         extracted.unpersist()

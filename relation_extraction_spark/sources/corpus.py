@@ -84,11 +84,21 @@ def _escape(s: str, rng: random.Random) -> str:
     return s
 
 
-def make_page(seed: int, i: int, skew: float, lang_en: float) -> dict:
-    """Pure deterministic page for row id ``i`` (oracle-shared core)."""
+def make_page(
+    seed: int,
+    i: int,
+    skew: float,
+    lang_en: float,
+    sent_range: tuple[int, int] = (3, 10),
+) -> dict:
+    """Pure deterministic page for row id ``i`` (oracle-shared core).
+
+    ``sent_range`` controls page length (sentences per page); benchmarks
+    use longer, Common-Crawl-shaped pages (tests keep the short default).
+    """
     rng = random.Random((seed << 32) ^ (i * 2654435761 % (1 << 61)))
     lang = "en" if rng.random() < lang_en else rng.choice(_LANGS)
-    n_sent = rng.randint(3, 10)
+    n_sent = rng.randint(*sent_range)
     sents = [_sentence(rng, skew) for _ in range(n_sent)]
     text = " ".join(sents)
     body = "".join("<p>%s</p>" % _escape(s, rng) for s in sents)
@@ -109,11 +119,17 @@ def make_page(seed: int, i: int, skew: float, lang_en: float) -> dict:
     }
 
 
-def make_stale_recrawl(seed: int, i: int, skew: float, lang_en: float) -> dict:
+def make_stale_recrawl(
+    seed: int,
+    i: int,
+    skew: float,
+    lang_en: float,
+    sent_range: tuple[int, int] = (3, 10),
+) -> dict:
     """An OLDER crawl of the same url with different content (J9 input)."""
-    page = make_page(seed, i, skew, lang_en)
+    page = make_page(seed, i, skew, lang_en, sent_range)
     rng = random.Random((seed << 32) ^ (i * 40503 + 7))
-    stale = make_page(seed ^ 0x5A17, i + 1_000_000_007, skew, lang_en)
+    stale = make_page(seed ^ 0x5A17, i + 1_000_000_007, skew, lang_en, sent_range)
     page_old = dict(stale)
     page_old["url"] = page["url"]
     page_old["lang"] = page["lang"]
@@ -129,6 +145,7 @@ def synthetic_pages(
     dup_frac: float = 0.05,
     lang_en: float = 0.85,
     parts: int | None = None,
+    sent_range: tuple[int, int] = (3, 10),
 ) -> DataFrame:
     """Distributed generator: ``spark.range(n)`` -> mapInPandas -> pages."""
     parts = parts or max(spark.sparkContext.defaultParallelism, 4)
@@ -137,9 +154,9 @@ def synthetic_pages(
         for pdf in batches:
             rows = []
             for i in pdf["id"].tolist():
-                rows.append(make_page(seed, i, skew, lang_en))
+                rows.append(make_page(seed, i, skew, lang_en, sent_range))
                 if dup_frac > 0 and (i * 2654435761 % 10_000) < dup_frac * 10_000:
-                    rows.append(make_stale_recrawl(seed, i, skew, lang_en))
+                    rows.append(make_stale_recrawl(seed, i, skew, lang_en, sent_range))
             yield pd.DataFrame(
                 rows,
                 columns=["url", "warc_ts", "html", "text", "lang"],

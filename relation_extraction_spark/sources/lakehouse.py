@@ -95,14 +95,14 @@ class SnapshotTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        files, n_rows = [], 0
+        files = []
         for base, _dirs, names in os.walk(data_dir):
             for n in names:
                 if n.endswith(".parquet"):
                     full = os.path.join(base, n)
-                    files.append(os.path.relpath(full, self.dir))
-                    n_rows += _footer_rows(full)
-        return sorted(files), n_rows
+                    files.append((os.path.relpath(full, self.dir), _footer_rows(full)))
+        files.sort()
+        return files, sum(r for _, r in files)
 
     # ------------------------------------------------------------- write/read
 
@@ -123,7 +123,10 @@ class SnapshotTable:
             "table": self.name,
             "snapshot_id": snap_id,
             "parent_id": parent["snapshot_id"] if parent else None,
-            "files": files,
+            "files": [f for f, _ in files],
+            # per-file row counts from the parquet footers: free
+            # file-level lineage, no Spark job (SURVEY.md §2.1 S6)
+            "file_rows": {f: r for f, r in files},
             "n_rows": n_rows,
             "stage": stage,
             "operation": "replace",
@@ -141,11 +144,16 @@ class SnapshotTable:
         token = uuid.uuid4().hex[:8]
         t0 = time.time()
         new_files, new_rows = self._write_data(df, snap_id, token, None)
+        file_rows = dict(parent.get("file_rows", {})) if parent else {}
+        file_rows.update({f: r for f, r in new_files})
         manifest = {
             "table": self.name,
             "snapshot_id": snap_id,
             "parent_id": parent["snapshot_id"] if parent else None,
-            "files": sorted((parent["files"] if parent else []) + new_files),
+            "files": sorted(
+                (parent["files"] if parent else []) + [f for f, _ in new_files]
+            ),
+            "file_rows": file_rows,
             "n_rows": (parent["n_rows"] if parent else 0) + new_rows,
             "stage": stage,
             "operation": "append",
@@ -170,11 +178,14 @@ class SnapshotTable:
         cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
         pq.write_table(pa.table(cols, schema=schema), path)
         rel = os.path.relpath(path, self.dir)
+        file_rows = dict(parent.get("file_rows", {})) if parent else {}
+        file_rows[rel] = len(rows)
         manifest = {
             "table": self.name,
             "snapshot_id": snap_id,
             "parent_id": parent["snapshot_id"] if parent else None,
             "files": sorted((parent["files"] if parent else []) + [rel]),
+            "file_rows": file_rows,
             "n_rows": (parent["n_rows"] if parent else 0) + len(rows),
             "stage": stage,
             "operation": "append",

@@ -1,0 +1,124 @@
+"""Data-plane scaling probe: the UDF/shuffle compute path WITHOUT
+commit I/O or control-plane latency.
+
+Measures scan -> html-extract -> segment -> triple-extract -> mention
+-> broadcast-link -> window-top1 (the reference-equivalent compiler
+workload) into a noop sink, at two core counts, repeats-take-min. This
+isolates "does the dataflow architecture scale?" from the single-box
+confounds BASELINE.md documents (shared page cache, one JVM heap,
+commit fsyncs) that cap end-to-end local-mode scaling.
+
+Usage: python scripts/dataplane_scaling.py [--pages 250000] [--small 2]
+       [--large 8] [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_ROOT = os.environ.get("KG_BENCH_ROOT", "/dev/shm/kg_bench")
+
+WORKLOAD = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from relation_extraction_spark.session import get_spark
+from relation_extraction_spark.operators.asof import latest_per_key
+from relation_extraction_spark.operators.extract import (
+    sentences_from_pages, triples_from_sentences, mentions_from_sentences)
+from relation_extraction_spark.operators.linking import link_mentions
+from relation_extraction_spark.sources.dictionary import entity_dictionary
+from relation_extraction_spark.functions.htmltext import extract_text
+from pyspark.sql import functions as F
+
+cores = {cores}
+spark = get_spark(app_name="dataplane", master=f"local[{{cores}}]",
+                  shuffle_partitions=2 * cores,
+                  extra_conf={{"spark.local.dir": {local_dir!r}}})
+raw = spark.read.parquet({corpus!r})
+pages = latest_per_key(raw, ["url"], "warc_ts").repartition(64, "url")
+pages = pages.select("url", "lang", extract_text("html").alias("text"))
+sents = sentences_from_pages(pages, lang="en")
+t0 = time.time()
+triples = triples_from_sentences(sents)
+n_triples = triples.count()
+mentions = mentions_from_sentences(sents)
+linked = link_mentions(mentions, entity_dictionary(spark))
+linked.write.format("noop").mode("overwrite").save()
+wall = time.time() - t0
+print(json.dumps({{"cores": cores, "wall_s": round(wall, 2),
+                   "n_triples": n_triples,
+                   "triples_per_sec": round(n_triples / wall, 1)}}))
+spark.stop()
+"""
+
+
+def run_leg(cores: int, corpus: str, repeats: int) -> dict:
+    code = WORKLOAD.format(
+        repo=REPO,
+        cores=cores,
+        corpus=corpus,
+        local_dir=os.path.join(BENCH_ROOT, f"spark_local_dp_{cores}"),
+    )
+    best = None
+    for _ in range(repeats):
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-3000:])
+            raise RuntimeError(f"leg cores={cores} failed")
+        rec = json.loads(
+            [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        )
+        rec["submit_wall_s"] = round(time.time() - t0, 2)
+        if best is None or rec["wall_s"] < best["wall_s"]:
+            best = rec
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=250000)
+    ap.add_argument("--sent-lo", type=int, default=12)
+    ap.add_argument("--sent-hi", type=int, default=40)
+    ap.add_argument("--small", type=int, default=2)
+    ap.add_argument("--large", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    corpus = os.path.join(
+        BENCH_ROOT, f"corpus_{args.pages}_s{args.sent_lo}-{args.sent_hi}"
+    )
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        from scaling_bench import gen_corpus  # same generator, same corpus
+
+        gen_corpus(args.pages, corpus, args.sent_lo, args.sent_hi)
+
+    small = run_leg(args.small, corpus, args.repeats)
+    large = run_leg(args.large, corpus, args.repeats)
+    eff = (large["triples_per_sec"] / small["triples_per_sec"]) / (
+        args.large / args.small
+    )
+    out = {
+        "workload": "dataplane extract+link (noop sink)",
+        "pages": args.pages,
+        "small": small,
+        "large": large,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(out, indent=2))
+    with open(os.path.join(REPO, "BENCH_dataplane.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

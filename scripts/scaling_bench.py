@@ -9,7 +9,14 @@ BENCH_scaling.json and a measured-results section of BASELINE.md.
 Shuffle partitions scale with core count (2x cores) exactly as they
 would per-cluster-size in production; everything else is identical.
 
-Usage:  python scripts/scaling_bench.py [--pages 20000] [--repeats 1]
+All benchmark I/O (corpus, outputs, shuffle spill) lives on /dev/shm
+tmpfs: the sandbox's /tmp sits on a shared virtual disk whose throughput
+swings wildly run-to-run (observed 3x wall variance on identical
+configs), which would drown the scaling signal. Each leg runs
+``--repeats`` times and the fastest run is kept (min = least-noise
+estimator of the true cost).
+
+Usage:  python scripts/scaling_bench.py [--pages 300000] [--repeats 2]
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:  # script lives in scripts/; package at repo root
     sys.path.insert(0, REPO)
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+BENCH_ROOT = os.environ.get("KG_BENCH_ROOT", "/dev/shm/kg_bench")
 
 
 def build_zip(path: str) -> None:
@@ -41,7 +49,7 @@ def build_zip(path: str) -> None:
                     z.write(full, os.path.relpath(full, REPO))
 
 
-def gen_corpus(pages: int, out: str) -> None:
+def gen_corpus(pages: int, out: str, sent_lo: int, sent_hi: int) -> None:
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return
     code = (
@@ -49,7 +57,8 @@ def gen_corpus(pages: int, out: str) -> None:
         "from relation_extraction_spark.sources.corpus import synthetic_pages\n"
         "spark = get_spark(app_name='gen', master='local[32]')\n"
         f"synthetic_pages(spark, {pages}, seed=42, skew=0.1, dup_frac=0.05,"
-        " parts=64).write.mode('overwrite').parquet(%r)\n" % out
+        f" parts=64, sent_range=({sent_lo}, {sent_hi}))"
+        ".write.mode('overwrite').parquet(%r)\n" % out
         + "spark.stop()\n"
     )
     subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
@@ -60,7 +69,8 @@ def run_once(cores: int, corpus: str, out: str, zip_path: str) -> dict:
     cmd = [
         SPARK_SUBMIT,
         "--master", f"local[{cores}]",
-        "--driver-memory", "16g",
+        "--driver-memory", "24g",
+        "--conf", f"spark.local.dir={os.path.join(BENCH_ROOT, f'spark_local_{cores}')}",
         "--py-files", zip_path,
         os.path.join(REPO, "main.py"),
         "--stage", "all",
@@ -104,20 +114,36 @@ def table_hash(out: str, table: str) -> tuple[int, int]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=20000)
+    ap.add_argument("--pages", type=int, default=300000)
+    ap.add_argument("--repeats", type=int, default=2)
+    # Common-Crawl-shaped page length (sentences per page); the pytest
+    # fixtures keep the short (3,10) default, the benchmark corpus uses
+    # realistic longer pages so compute dominates scheduling latency
+    ap.add_argument("--sent-lo", type=int, default=12)
+    ap.add_argument("--sent-hi", type=int, default=40)
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--large", type=int, default=32)
     args = ap.parse_args()
 
-    zip_path = "/tmp/kg.zip"
-    corpus = f"/tmp/kg_scale_corpus_{args.pages}"
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    zip_path = os.path.join(BENCH_ROOT, "kg.zip")
+    corpus = os.path.join(
+        BENCH_ROOT, f"corpus_{args.pages}_s{args.sent_lo}-{args.sent_hi}"
+    )
     build_zip(zip_path)
-    gen_corpus(args.pages, corpus)
+    gen_corpus(args.pages, corpus, args.sent_lo, args.sent_hi)
 
-    out_s = f"/tmp/kg_scale_out_{args.small}"
-    out_l = f"/tmp/kg_scale_out_{args.large}"
-    rec_s = run_once(args.small, corpus, out_s, zip_path)
-    rec_l = run_once(args.large, corpus, out_l, zip_path)
+    out_s = os.path.join(BENCH_ROOT, f"out_{args.small}")
+    out_l = os.path.join(BENCH_ROOT, f"out_{args.large}")
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    rec_s = min(
+        (run_once(args.small, corpus, out_s, zip_path) for _ in range(args.repeats)),
+        key=lambda r: r["wall_s"],
+    )
+    rec_l = min(
+        (run_once(args.large, corpus, out_l, zip_path) for _ in range(args.repeats)),
+        key=lambda r: r["wall_s"],
+    )
 
     # parallelism invariance: identical triples & edges at both sizes
     mismatches = []
@@ -130,6 +156,7 @@ def main() -> None:
     eff = (thr_l / thr_s) / (args.large / args.small)
     result = {
         "pages": args.pages,
+        "sent_range": [args.sent_lo, args.sent_hi],
         "small_cores": args.small,
         "large_cores": args.large,
         "wall_s_small": rec_s["wall_s"],
