@@ -1225,3 +1225,103 @@ def q_multimodal_neardup(spark, sf):
     return near_dup_images(decode_images(base.unionByName(clones))).select(
         "phash", F.array_join(F.transform("media_ids", lambda x: x.cast("string")), "|").alias("media_ids")
     )
+
+
+# ---------------------------------------------- §2 gap-fill: A5/A6/A7/D9/O4
+
+
+@q("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def q_approx_distinct(spark, sf):
+    # A5 — approx_count_distinct: the at-scale form of COUNT(DISTINCT)
+    # (single pass, mergeable HLL sketch, no exact-dedup shuffle).
+    return (
+        T(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@q(
+    "agg_percentile",
+    "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
+    "round(quantile_cont(value, 0.95), 4) AS p95 "
+    "FROM events GROUP BY event_type",
+)
+def q_percentile(spark, sf):
+    # A6 — exact interpolated percentile (Spark `percentile` == DuckDB
+    # quantile_cont); percentile_approx is the 100 TB variant, same API.
+    return (
+        T(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        )
+    )
+
+
+@q(
+    "agg_grouping_sets",
+    "SELECT lang, source, count(*) AS n FROM documents "
+    "GROUP BY GROUPING SETS ((lang), (source), ()) ",
+)
+def q_grouping_sets(spark, sf):
+    # A7 — explicit grouping sets (finer control than rollup/cube)
+    T(spark, sf, "documents").createOrReplaceTempView("gs_documents")
+    return spark.sql(
+        "SELECT lang, source, count(*) AS n FROM gs_documents "
+        "GROUP BY GROUPING SETS ((lang), (source), ())"
+    )
+
+
+@q(
+    "grouped_map_user_stats",
+    "WITH flagged AS (SELECT user_id, ts, value, CASE WHEN epoch(ts) - "
+    "epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "> 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "IS NULL THEN 1 ELSE 0 END AS new_s, event_id FROM events) "
+    "SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS "
+    "n_sessions, round(sum(value), 2) AS total_value FROM flagged "
+    "GROUP BY user_id",
+)
+def q_grouped_map(spark, sf):
+    # D9 — applyInPandas grouped-map: whole-group pandas pass per user
+    # (the Spark shape for any per-entity imperative pass; sessionization
+    # here is deliberately re-computed imperatively so the DuckDB
+    # window-SQL oracle checks the grouped-map plumbing end-to-end).
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        gaps = pdf["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps.isna() | (gaps > 1800)).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_sessions": [n_sessions],
+                "total_value": [round(float(pdf["value"].sum()), 2)],
+            }
+        )
+
+    return (
+        T(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            stats,
+            "user_id long, n_events long, n_sessions long, total_value double",
+        )
+    )
+
+
+@q("sort_within_partitions")  # rows-only: partition-local order isn't SQL-visible
+def q_sort_within_partitions(spark, sf):
+    # O4 — write-time clustering: rows ordered inside each partition
+    # without a global shuffle (parquet row-group locality at scale).
+    return (
+        T(spark, sf, "orders")
+        .repartition(8, "o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderdate")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
