@@ -1325,3 +1325,151 @@ def q_sort_within_partitions(spark, sf):
         .sortWithinPartitions("o_custkey", "o_orderdate")
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# ------------------------------------------- TPC-H-style analytics (adapted
+# to the fixture schemas) — multi-join + agg plans over the larger tables,
+# written the way they should run at 100 TB: dims broadcast, facts never
+# shuffled except on agg keys, filters pushed to the scans.
+
+
+@q(
+    "tpch_q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def q_tpch_q1(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q3_shipping_priority",
+    "SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)"
+    " AS revenue, strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP "
+    "'1995-03-15' AND l.l_shipdate > TIMESTAMP '1995-03-15' "
+    "GROUP BY l.l_orderkey, o.o_orderdate "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def q_tpch_q3(spark, sf):
+    cust = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = T(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", TS_FMT_SPARK).alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q5_local_supplier_volume",
+    "SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) "
+    "AS revenue FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "AND c.c_nationkey = s.s_nationkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
+)
+def q_tpch_q5(spark, sf):
+    # facts (lineitem, orders) sort-merge on their keys; every dim is
+    # broadcast — the canonical star-join shape at scale.
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    l = T(spark, sf, "lineitem")
+    s = T(spark, sf, "supplier")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "tpch_q18_large_volume_customer",
+    "WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+    "HAVING sum(l_quantity) > 150) "
+    "SELECT c.c_name, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,"
+    " round(sum(l.l_quantity), 2) AS total_qty "
+    "FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY c.c_name, o.o_orderkey, o.o_totalprice "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+)
+def q_tpch_q18(spark, sf):
+    l = T(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l.alias("l2"), F.col("o_orderkey") == F.col("l2.l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l2.l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
