@@ -56,6 +56,26 @@ def test_mention_precision_recall(spark):
     assert p == 1.0 and r == 1.0, f"P={p:.4f} R={r:.4f}"
 
 
+def test_triple_pr_harness(spark):
+    """The public evaluation API (U2/U3) agrees with the set-based
+    computation and reports P/R = 1.0 vs the golden oracle."""
+    from relation_extraction_spark.evaluation import triple_pr
+
+    sents = _pipeline_sentences(spark)
+    pred = triples_from_sentences(sents)
+    gold_rows = sorted(
+        golden_triples(golden_pages(N, seed=42, skew=0.15, dup_frac=0.08))
+    )
+    gold = spark.createDataFrame(
+        gold_rows, "url string, sent_id int, subj string, pred string, obj string"
+    )
+    r = triple_pr(pred, gold)
+    assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["f1"] == 1.0
+    assert r["n_tp"] == r["n_gold"] == len(gold_rows)
+    assert r["false_positives"].count() == 0
+    assert r["false_negatives"].count() == 0
+
+
 def test_extraction_deterministic_across_runs(spark):
     sents = _pipeline_sentences(spark)
     a = sorted(map(tuple, triples_from_sentences(sents).collect()))
