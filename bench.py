@@ -70,13 +70,16 @@ def _run() -> dict:
     timed("flagship_top_triples", lambda: top_triples(spark, sf_dir).collect())
 
     # -------- end-to-end KG pipeline over a synthetic corpus
-    corpus_dir = f"/tmp/kg_bench_corpus_{pages}"
+    # tmpfs: the sandbox /tmp disk shows 3x run-to-run throughput variance
+    bench_root = os.environ.get("KG_BENCH_ROOT", "/dev/shm/kg_bench")
+    os.makedirs(bench_root, exist_ok=True)
+    corpus_dir = f"{bench_root}/bench_corpus_{pages}"
     if not os.path.exists(corpus_dir + "/_SUCCESS"):
         shutil.rmtree(corpus_dir, ignore_errors=True)
         synthetic_pages(spark, pages, seed=42, skew=0.1).write.mode(
             "overwrite"
         ).parquet(corpus_dir)
-    out_dir = f"/tmp/kg_bench_out_{int(time.time() * 1000)}"
+    out_dir = f"{bench_root}/bench_out_{int(time.time() * 1000)}"
     t0 = time.time()
     run_pipeline(
         spark,
