@@ -268,15 +268,28 @@ class Pipeline:
         mentions = self.tables["mentions"].read(self.spark)
         linked = self.tables["linked_mentions"].read(self.spark)
         triples = self.tables["triples"].read(self.spark)
-        entities, mapping = canonicalize(
+        # commit mapping FIRST, then derive entities from the committed
+        # table — entities and mapping share the expensive forms+LSH+CC
+        # lineage, and committing both from the lazy plans would execute
+        # that chain twice (commit-then-derive, as everywhere else).
+        _entities, mapping = canonicalize(
             mentions, linked, triples, threshold=self.cfg.lsh_threshold
         )
-        return self._commit_stage(
-            "canonicalize",
-            {"entities": entities, "mapping": mapping},
-            ("entities_canonical", "entities"),
-            t0,
+        info = {"mapping": self.tables["mapping"].commit(mapping, stage="canonicalize")}
+        committed_mapping = self.tables["mapping"].read(self.spark)
+        entities = (
+            committed_mapping.groupBy("canonical_id")
+            .agg(F.array_sort(F.collect_set("form")).alias("surface_forms"))
         )
+        info.update(
+            self._commit_stage(
+                "canonicalize",
+                {"entities": entities},
+                ("entities_canonical", "entities"),
+                t0,
+            )
+        )
+        return info
 
     def stage_materialize(self) -> dict:
         if self.cfg.resume and self._done("edges"):
