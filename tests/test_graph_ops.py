@@ -51,6 +51,56 @@ def test_cc_driver_and_distributed_paths_agree(spark):
     assert fast == dist
 
 
+def test_cc_random_graphs_vs_reference(spark):
+    """Randomized graphs: both CC paths must match an independent
+    pure-Python BFS reference (not union-find — different algorithm,
+    so shared-bug risk is low)."""
+    import random
+    from collections import defaultdict, deque
+
+    def bfs_components(edges):
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        comp, seen = {}, set()
+        for start in sorted(adj):
+            if start in seen:
+                continue
+            group, q = [], deque([start])
+            seen.add(start)
+            while q:
+                x = q.popleft()
+                group.append(x)
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        q.append(y)
+            root = min(group)
+            for x in group:
+                comp[x] = root
+        return comp
+
+    for seed in [1, 2, 3]:
+        rng = random.Random(seed)
+        n_nodes = rng.randrange(20, 120)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randrange(10, 200))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        want = bfs_components(edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for thr in (2_000_000, 0):  # driver path, distributed path
+            got = {
+                r.node: r.component
+                for r in connected_components(df, driver_threshold=thr).collect()
+            }
+            assert got == want, f"seed={seed} threshold={thr}"
+
+
 def test_cc_partition_invariance(spark):
     edges = [(i, i + 1) for i in range(0, 50, 2)] + [(i + 1, i + 2) for i in range(0, 48, 2)]
     df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
