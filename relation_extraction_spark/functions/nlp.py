@@ -232,6 +232,117 @@ def _np_text(tokens: list[str], start: int, end: int) -> str:
     return " ".join(toks)
 
 
+# --------------------------------------------------------------- D4 arcs
+# Shallow deterministic dependency arcs (BASELINE.json north_star:
+# "POS/dependency parsing"). Head/dep are TOKEN indices; labels follow
+# the usual UD-ish shorthand. Two layers:
+#   NP-internal:  det/amod/compound -> the chunk's head noun
+#   clause-level: nsubj/dobj/cop around verb groups, prep/pobj for
+#                 prepositions, appos for comma-delimited det-initial
+#                 appositives
+# The appositive and noun-attached-prep TRIPLE patterns (D5) are read
+# off these arcs in _extract_tagged — the arc layer is load-bearing,
+# not decorative.
+
+
+def _arcs_tagged(tokens: list[str], tags: str, reduced: str, spans) -> list[dict]:
+    arcs: list[dict] = []
+    n = len(reduced)
+    np_head: dict[int, int] = {}  # reduced pos -> head token idx
+    np_span: dict[int, tuple[int, int]] = {}
+    for ri, ch in enumerate(reduced):
+        if ch != "E":
+            continue
+        s, e = spans[ri]
+        np_head[ri] = e - 1
+        np_span[ri] = (s, e)
+        for i in range(s, e - 1):
+            lab = {"D": "det", "J": "amod", "N": "compound"}.get(tags[i])
+            if lab:
+                arcs.append({"head": e - 1, "dep": i, "label": lab})
+    for ri, ch in enumerate(reduced):
+        if ch in "VB":
+            v_tok = spans[ri][0]
+            for lj in range(ri - 1, -1, -1):  # nsubj: nearest E leftward
+                if reduced[lj] == "E":
+                    arcs.append(
+                        {"head": v_tok, "dep": np_head[lj], "label": "nsubj"}
+                    )
+                    break
+                if reduced[lj] in "OC":  # clause boundary
+                    break
+            for rj in range(ri + 1, n):  # dobj/cop: nearest E rightward
+                if reduced[rj] == "E":
+                    arcs.append(
+                        {
+                            "head": v_tok,
+                            "dep": np_head[rj],
+                            "label": "cop" if ch == "B" else "dobj",
+                        }
+                    )
+                    break
+                if reduced[rj] not in "RMTVBDJ":
+                    break
+        elif ch in "PT" and ri + 1 < n and reduced[ri + 1] == "E":
+            p_tok = spans[ri][0]
+            arcs.append({"head": p_tok, "dep": np_head[ri + 1], "label": "pobj"})
+            for lj in range(ri - 1, -1, -1):  # what does the PP modify?
+                if reduced[lj] == "E":
+                    arcs.append(
+                        {"head": np_head[lj], "dep": p_tok, "label": "prep"}
+                    )
+                    break
+                if reduced[lj] in "VB":
+                    arcs.append(
+                        {"head": spans[lj][0], "dep": p_tok, "label": "prep"}
+                    )
+                    break
+                if reduced[lj] == "O":
+                    break
+    # appos: E , E(det-initial) with a closing ',' / clause end / verb —
+    # and NOT a list item ("a, b, and c" has C after the second comma)
+    for ri in range(n - 2):
+        if not (
+            reduced[ri] == "E"
+            and reduced[ri + 1] == "O"
+            and reduced[ri + 2] == "E"
+            and tokens[spans[ri + 1][0]] == ","
+        ):
+            continue
+        s2, _e2 = np_span[ri + 2]
+        if tags[s2] != "D":
+            continue
+        if ri + 3 >= n:
+            closes = True
+        else:
+            nxt = reduced[ri + 3]
+            nxt_tok = tokens[spans[ri + 3][0]]
+            closes = nxt in "VBM" or (
+                nxt == "O"
+                and nxt_tok == ","
+                and (ri + 4 >= n or reduced[ri + 4] != "C")
+            )
+        if closes:
+            arcs.append(
+                {"head": np_head[ri], "dep": np_head[ri + 2], "label": "appos"}
+            )
+    return arcs
+
+
+def parse_arcs(sentence: str) -> list[dict]:
+    """D4 — shallow dependency arcs for one sentence.
+
+    Returns [{'head': tok_idx, 'dep': tok_idx, 'label': str}] with
+    labels det/amod/compound/nsubj/dobj/cop/prep/pobj/appos.
+    """
+    tokens = tokenize(sentence)
+    if not tokens:
+        return []
+    tags = tag_tokens(tokens)
+    reduced, spans = _reduce(tags)
+    return _arcs_tagged(tokens, tags, reduced, spans)
+
+
 def extract_from_sentence(sentence: str):
     """All (subj, pred, obj, conf) pattern matches in one sentence.
 
@@ -240,9 +351,15 @@ def extract_from_sentence(sentence: str):
     construction (SURVEY.md §7.4 risk 1).
     """
     tokens = tokenize(sentence)
+    tags = tag_tokens(tokens)
+    return _extract_tagged(tokens, tags)
+
+
+def _extract_tagged(tokens: list[str], tags: str):
+    """Pattern matching over a pre-tagged sentence (shared by the fused
+    triples+mentions pass so tokenize/tag run once per sentence)."""
     if len(tokens) < 3:
         return []
-    tags = tag_tokens(tokens)
     reduced, spans = _reduce(tags)
     out = []
     for pat, conf, kind in PATTERNS:
@@ -266,6 +383,40 @@ def extract_from_sentence(sentence: str):
                     {"subj": subj, "pred": pred, "obj": obj, "conf": conf}
                 )
             pos = m.end() - 1  # allow chained E V E V E
+    # --- D4 arc-derived patterns (appositive, noun-attached prep) ---
+    # cheap gate: a sentence with no preposition/to and no comma cannot
+    # produce an appos or noun-prep triple — skip the arc pass (most of
+    # the fixture word-soup corpus takes this branch)
+    if not (
+        "P" in reduced or "T" in reduced or ("O" in reduced and "," in tokens)
+    ):
+        arcs = []
+    else:
+        arcs = _arcs_tagged(tokens, tags, reduced, spans)
+    np_by_head = {
+        spans[ri][1] - 1: spans[ri]
+        for ri, ch in enumerate(reduced)
+        if ch == "E"
+    }
+    pobj = {a["head"]: a["dep"] for a in arcs if a["label"] == "pobj"}
+    for a in arcs:
+        if a["label"] == "appos":
+            subj = _np_text(tokens, *np_by_head[a["head"]])
+            obj = _np_text(tokens, *np_by_head[a["dep"]])
+            if subj and obj and subj.lower() != obj.lower():
+                out.append({"subj": subj, "pred": "be", "obj": obj, "conf": 0.85})
+        elif a["label"] == "prep" and a["head"] in np_by_head:
+            # NOUN-attached PP only: "the capital of France" ->
+            # (capital, of, France). Verb-attached preps are already the
+            # SVO pattern's V+P predicate ("writes to").
+            obj_head = pobj.get(a["dep"])
+            if obj_head is None or obj_head not in np_by_head:
+                continue
+            subj = _np_text(tokens, *np_by_head[a["head"]])
+            obj = _np_text(tokens, *np_by_head[obj_head])
+            pred = tokens[a["dep"]].lower()
+            if subj and obj and subj.lower() != obj.lower():
+                out.append({"subj": subj, "pred": pred, "obj": obj, "conf": 0.60})
     # dedupe within sentence, keep max conf, deterministic order
     best = {}
     for t in out:
@@ -281,6 +432,19 @@ def detect_mentions(sentence: str):
     if not tokens:
         return []
     tags = tag_tokens(tokens)
+    return _mentions_tagged(sentence, tokens, tags)
+
+
+def analyze_sentence(sentence: str):
+    """Fused D5+D6: (triples, mentions) from ONE tokenize/tag pass."""
+    tokens = tokenize(sentence)
+    if not tokens:
+        return [], []
+    tags = tag_tokens(tokens)
+    return _extract_tagged(tokens, tags), _mentions_tagged(sentence, tokens, tags)
+
+
+def _mentions_tagged(sentence: str, tokens: list[str], tags: str):
     # char offsets per token (re-scan once)
     offs = [m.span() for m in TOKEN_RE.finditer(sentence)]
     out = []

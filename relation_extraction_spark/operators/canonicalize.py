@@ -137,7 +137,11 @@ def canonicalize(
     entities: canonical_id long, surface_forms array<string> (sorted)
     mapping:  form string, form_id long, canonical_id long
     """
-    forms = surface_forms(mentions, triples)
+    # forms feeds BOTH the LSH edge chain and the final mapping join;
+    # localCheckpoint materializes the (small: distinct normalized
+    # strings) universe once so the mentions+triples scan + distinct
+    # doesn't execute twice
+    forms = surface_forms(mentions, triples).localCheckpoint()
     edges = dictionary_edges(linked).unionByName(
         lsh_similarity_edges(forms, threshold=threshold)
     )

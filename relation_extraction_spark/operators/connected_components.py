@@ -99,9 +99,19 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             else:
                 parent[a] = b
     rows = sorted((n, find(n)) for n in nodes)
-    return edges.sparkSession.createDataFrame(
-        rows, "node long, component long"
+    # schema derived from the input edge column type so non-long node ids
+    # (strings, ints — the distributed path already handles them) work on
+    # the fast path too (round-1 advisor finding)
+    from pyspark.sql.types import StructField, StructType
+
+    node_type = edges.schema[0].dataType
+    schema = StructType(
+        [
+            StructField("node", node_type, False),
+            StructField("component", node_type, False),
+        ]
     )
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def connected_components(
@@ -137,14 +147,21 @@ def connected_components(
     sig = _sig(e)
     if sig[0] <= driver_threshold:
         return _driver_union_find(e)
+    prev = e
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint()
         # converged when the edge multiset is stable (both frames are
-        # (node -> smaller node) maps after a small-star step)
+        # (node -> smaller node) maps after a small-star step). The
+        # (count, bit_xor) signature is probabilistic — a 64-bit
+        # collision could stop iteration early — so the break is
+        # CONFIRMED with one exact exceptAll on the final iteration
+        # only (round-1 advisor finding): O(1) extra shuffles total,
+        # not O(rounds).
         sig2 = _sig(e2)
-        e = e2
+        prev, e = e, e2
         if sig2 == sig:
-            break
+            if prev.exceptAll(e).limit(1).count() == 0:
+                break
         sig = sig2
     # e now maps every non-root node to its component minimum
     nodes = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))

@@ -123,6 +123,14 @@ class SnapshotTable:
             "table": self.name,
             "snapshot_id": snap_id,
             "parent_id": parent["snapshot_id"] if parent else None,
+            "partition_by": list(partition_by or []),
+            # data schema pinned at commit time: readers skip parquet
+            # footer-based schema inference entirely (~2s of driver-side
+            # planning per first read of a 64-file table — the dominant
+            # control-plane cost found in round 2). For a partitioned
+            # commit the partition columns are NOT in the data files'
+            # schema, so read() falls back to inference there.
+            "schema_json": None if partition_by else df.schema.json(),
             "files": [f for f, _ in files],
             # per-file row counts from the parquet footers: free
             # file-level lineage, no Spark job (SURVEY.md §2.1 S6)
@@ -150,6 +158,7 @@ class SnapshotTable:
             "table": self.name,
             "snapshot_id": snap_id,
             "parent_id": parent["snapshot_id"] if parent else None,
+            "schema_json": df.schema.json(),
             "files": sorted(
                 (parent["files"] if parent else []) + [f for f, _ in new_files]
             ),
@@ -206,4 +215,18 @@ class SnapshotTable:
                 m = json.load(fh)
         if m is None:
             raise FileNotFoundError(f"no committed snapshot for table {self.name}")
-        return spark.read.parquet(*[os.path.join(self.dir, f) for f in m["files"]])
+        # basePath: partition columns of a `partition_by` commit live only
+        # in the `col=value` directory names between the snapshot dir and
+        # the leaf files; without a basePath a list-of-leaf-files read
+        # silently drops them (round-1 advisor finding). Spark's partition
+        # inference walks UP from each leaf and stops at the first
+        # non-`k=v` segment (the snap-<n>-<token> dir), so self.dir is a
+        # safe basePath for partitioned and unpartitioned snapshots alike.
+        reader = spark.read.option("basePath", self.dir)
+        if m.get("schema_json"):
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(json.loads(m["schema_json"]))
+            )
+        return reader.parquet(*[os.path.join(self.dir, f) for f in m["files"]])

@@ -177,3 +177,47 @@ def test_link_deterministic_tiebreak(spark):
     for _ in range(2):
         rows = link_mentions(mentions, dictionary).collect()
         assert len(rows) == 1 and rows[0].entity_id == 3
+
+
+def test_cc_string_node_ids_both_paths(spark):
+    """Non-integer node ids must work on the driver fast path too (its
+    output schema is derived from the edge column types — round-1
+    advisor finding)."""
+    edges = [("apple", "banana"), ("banana", "cherry"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {r.node: r.component for r in connected_components(df).collect()}
+    dist = {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    assert fast == {
+        "apple": "apple", "banana": "apple", "cherry": "apple",
+        "x": "x", "y": "x",
+    }
+
+
+def test_gexf_export_roundtrip(spark, tmp_path):
+    """edges -> GEXF file: well-formed XML, top-weight capping, labels."""
+    import xml.etree.ElementTree as ET
+
+    from relation_extraction_spark.sources.gexf import export_gexf
+
+    edges = spark.createDataFrame(
+        [(1, 2, "powers", 5), (2, 3, "holds", 3), (3, 1, "feeds", 1)],
+        "src_id long, dst_id long, pred string, weight long",
+    )
+    entities = spark.createDataFrame(
+        [(1, ["spark engine"]), (2, ["the <table>"]), (3, ["rows"])],
+        "canonical_id long, surface_forms array<string>",
+    )
+    path = str(tmp_path / "g.gexf")
+    xml = export_gexf(edges, entities, path, max_edges=2)
+    root = ET.parse(path).getroot()  # parses => well-formed despite <>&
+    ns = {"g": "http://gexf.net/1.2"}
+    nodes = root.findall(".//g:node", ns)
+    edgs = root.findall(".//g:edge", ns)
+    assert len(edgs) == 2  # capped to the two heaviest
+    assert {e.get("label") for e in edgs} == {"powers", "holds"}
+    assert {n.get("label") for n in nodes} == {"spark engine", "the <table>", "rows"}
+    assert xml.startswith("<?xml")
