@@ -29,16 +29,26 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the pipeline's standard conf."""
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
-        os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        # under spark-submit the master arrives via conf — do NOT
+        # override it (builder.master() wins over --master, which made
+        # every spark-submit leg silently run at local[32]; round-2
+        # finding that invalidated the round-1 e2e scaling numbers).
+        # Only fall back when launched as a bare python process.
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_SHUFFLE_PARTITIONS)
         )
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -30,7 +30,8 @@ sys.path.insert(0, {repo!r})
 from relation_extraction_spark.session import get_spark
 from relation_extraction_spark.operators.asof import latest_per_key
 from relation_extraction_spark.operators.extract import (
-    sentences_from_pages, triples_from_sentences, mentions_from_sentences)
+    sentences_from_pages, extractions_from_sentences, split_extractions)
+from pyspark import StorageLevel
 from relation_extraction_spark.operators.linking import link_mentions
 from relation_extraction_spark.sources.dictionary import entity_dictionary
 from relation_extraction_spark.functions.htmltext import extract_text
@@ -45,11 +46,15 @@ pages = latest_per_key(raw, ["url"], "warc_ts").repartition(64, "url")
 pages = pages.select("url", "lang", extract_text("html").alias("text"))
 sents = sentences_from_pages(pages, lang="en")
 t0 = time.time()
-triples = triples_from_sentences(sents)
-n_triples = triples.count()
-mentions = mentions_from_sentences(sents)
+# fused architecture (one extraction pass emits triples AND mentions,
+# persisted so linking and the triple count share it) — mirrors
+# plans/pipeline.py stage_extract
+fused = extractions_from_sentences(sents).persist(StorageLevel.MEMORY_AND_DISK)
+triples, mentions = split_extractions(fused)
 linked = link_mentions(mentions, entity_dictionary(spark))
 linked.write.format("noop").mode("overwrite").save()
+n_triples = triples.count()
+fused.unpersist()
 wall = time.time() - t0
 print(json.dumps({{"cores": cores, "wall_s": round(wall, 2),
                    "n_triples": n_triples,
@@ -58,30 +63,26 @@ spark.stop()
 """
 
 
-def run_leg(cores: int, corpus: str, repeats: int) -> dict:
+def run_once(cores: int, corpus: str) -> dict:
     code = WORKLOAD.format(
         repo=REPO,
         cores=cores,
         corpus=corpus,
         local_dir=os.path.join(BENCH_ROOT, f"spark_local_dp_{cores}"),
     )
-    best = None
-    for _ in range(repeats):
-        t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, text=True, cwd=REPO, timeout=3600,
-        )
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-3000:])
-            raise RuntimeError(f"leg cores={cores} failed")
-        rec = json.loads(
-            [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        )
-        rec["submit_wall_s"] = round(time.time() - t0, 2)
-        if best is None or rec["wall_s"] < best["wall_s"]:
-            best = rec
-    return best
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-3000:])
+        raise RuntimeError(f"leg cores={cores} failed")
+    rec = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    rec["submit_wall_s"] = round(time.time() - t0, 2)
+    return rec
 
 
 def main() -> None:
@@ -102,8 +103,19 @@ def main() -> None:
 
         gen_corpus(args.pages, corpus, args.sent_lo, args.sent_hi)
 
-    small = run_leg(args.small, corpus, args.repeats)
-    large = run_leg(args.large, corpus, args.repeats)
+    # legs INTERLEAVED (small, large, small, large ...): this sandbox's
+    # background load drifts on multi-minute timescales, so sequential
+    # per-leg repeats can sample different noise regimes and corrupt the
+    # ratio; interleaving keeps both legs inside each noise window and
+    # min-over-repeats then drops the slow windows from both equally.
+    small = large = None
+    for _ in range(args.repeats):
+        rec_s = run_once(args.small, corpus)
+        rec_l = run_once(args.large, corpus)
+        if small is None or rec_s["wall_s"] < small["wall_s"]:
+            small = rec_s
+        if large is None or rec_l["wall_s"] < large["wall_s"]:
+            large = rec_l
     eff = (large["triples_per_sec"] / small["triples_per_sec"]) / (
         args.large / args.small
     )

@@ -73,6 +73,7 @@ def run_once(cores: int, corpus: str, out: str, zip_path: str) -> dict:
         "--conf", f"spark.local.dir={os.path.join(BENCH_ROOT, f'spark_local_{cores}')}",
         "--py-files", zip_path,
         os.path.join(REPO, "main.py"),
+        "--master", f"local[{cores}]",
         "--stage", "all",
         "--out", out,
         "--input-parquet", corpus,
@@ -136,14 +137,17 @@ def main() -> None:
     out_s = os.path.join(BENCH_ROOT, f"out_{args.small}")
     out_l = os.path.join(BENCH_ROOT, f"out_{args.large}")
     os.makedirs(BENCH_ROOT, exist_ok=True)
-    rec_s = min(
-        (run_once(args.small, corpus, out_s, zip_path) for _ in range(args.repeats)),
-        key=lambda r: r["wall_s"],
-    )
-    rec_l = min(
-        (run_once(args.large, corpus, out_l, zip_path) for _ in range(args.repeats)),
-        key=lambda r: r["wall_s"],
-    )
+    # legs INTERLEAVED (see scripts/dataplane_scaling.py): background
+    # load drifts on multi-minute timescales; alternating legs keeps the
+    # small/large ratio inside the same noise window each repeat.
+    rec_s = rec_l = None
+    for _ in range(args.repeats):
+        r_s = run_once(args.small, corpus, out_s, zip_path)
+        r_l = run_once(args.large, corpus, out_l, zip_path)
+        if rec_s is None or r_s["wall_s"] < rec_s["wall_s"]:
+            rec_s = r_s
+        if rec_l is None or r_l["wall_s"] < rec_l["wall_s"]:
+            rec_l = r_l
 
     # parallelism invariance: identical triples & edges at both sizes
     mismatches = []

@@ -138,3 +138,22 @@ def test_independent_oracle_diverges_on_injected_bug():
     src = inspect.getsource(oi)
     for fn in ("extract_from_sentence", "detect_mentions(", "segment_py", "tag_tokens"):
         assert fn not in src, fn
+
+
+def test_fused_extraction_equals_single_purpose_paths(spark):
+    """The fused nested-array extraction (one Arrow crossing) must be
+    row- and schema-identical to the single-purpose triples/mentions
+    paths it replaced in the pipeline's hot stage."""
+    from relation_extraction_spark.operators.extract import (
+        extractions_from_sentences,
+        split_extractions,
+    )
+
+    sents = _pipeline_sentences(spark).limit(500)
+    ft, fm = split_extractions(extractions_from_sentences(sents))
+    t1 = sorted(map(tuple, triples_from_sentences(sents).collect()))
+    m1 = sorted(map(tuple, mentions_from_sentences(sents).collect()))
+    assert sorted(map(tuple, ft.collect())) == t1
+    assert sorted(map(tuple, fm.collect())) == m1
+    assert ft.schema == triples_from_sentences(sents).schema
+    assert fm.schema == mentions_from_sentences(sents).schema
