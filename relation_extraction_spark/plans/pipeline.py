@@ -203,9 +203,13 @@ class Pipeline:
                 dup_frac=self.cfg.dup_frac,
                 lang_en=self.cfg.lang_en,
             )
-        # as-of dedup of recrawls: keep latest warc_ts per url (J9)
-        pages = latest_per_key(raw, ["url"], "warc_ts").repartition(
-            self.cfg.n_buckets, "url"
+        # as-of dedup of recrawls: keep latest warc_ts per url (J9).
+        # repartition FIRST: the ranking window requires a hash
+        # distribution on url, and HashPartitioning(url, n_buckets)
+        # satisfies it — window-then-repartition shuffled the full
+        # corpus TWICE on the same key (round-2 plan audit).
+        pages = latest_per_key(
+            raw.repartition(self.cfg.n_buckets, "url"), ["url"], "warc_ts"
         )
         return self._commit_stage(
             "ingest",
@@ -240,10 +244,16 @@ class Pipeline:
             extract_text("html").alias("text"),
             extract_text("html").eqNullSafe(F.col("text")).alias("text_ok"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # NO repartition here: web_pages is already committed as
+        # n_buckets url-bucketed files, so the scan's input splits ARE
+        # the bucket layout and sentences inherit it task-per-file —
+        # the old repartition shuffled the biggest intermediate table a
+        # second time on a key it was already bucketed by (round-2 plan
+        # audit).
         sents = sentences_from_pages(
             extracted.filter(F.col("text_ok") & F.col("text").isNotNull()),
             lang="en",
-        ).repartition(self.cfg.n_buckets, "url")
+        )
         info = {"sentences": self.tables["sentences"].commit(sents, stage="extract")}
         n_mismatch = extracted.filter(~F.col("text_ok")).count()
         extracted.unpersist()

@@ -1228,6 +1228,21 @@ def q_multimodal_meta(spark, sf):
     return decode_images(synthetic_media(spark, 200, kind="image"))
 
 
+@q("multimodal_image_meta_arrow")
+def q_multimodal_meta_arrow(spark, sf):
+    # D10 Arrow-native: mapInArrow over REAL BMP bytes (pure-numpy codec)
+    import pandas as pd
+
+    from ..operators.multimodal import decode_images_arrow, real_bmp_bytes
+
+    rows = [(i, "image", real_bmp_bytes(i)) for i in range(200)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary",
+    )
+    return decode_images_arrow(media)
+
+
 @q("multimodal_near_dup_phash")
 def q_multimodal_neardup(spark, sf):
     from ..operators.multimodal import (
