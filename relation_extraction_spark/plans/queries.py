@@ -893,10 +893,16 @@ def q_dedup_exact(spark, sf):
 
 @q(
     "dedup_ngram_jaccard",
+    # the oracle MIRRORS the production hot-shingle cap (shingles in
+    # >1000 docs dropped BEFORE sizes/join) so the scale-safe capped
+    # form is the oracle-checked form, not a test-only special case
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM "
-    "documents WHERE lang = 'en'), sh AS (SELECT doc_id, unnest("
+    "documents WHERE lang = 'en'), sh0 AS (SELECT doc_id, unnest("
     "list_distinct(list_transform(generate_series(1, greatest(len(t) - 1, "
     "0)), i -> array_to_string(t[i:i+1], ' ')))) AS sh FROM toks), "
+    "hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 1000), "
+    "sh AS (SELECT s.doc_id, s.sh FROM sh0 s LEFT JOIN hot h ON "
+    "s.sh = h.sh WHERE h.sh IS NULL), "
     "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
     "com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
     "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id "
@@ -908,13 +914,12 @@ def q_dedup_exact(spark, sf):
 def q_dedup_ngram(spark, sf):
     # word-bigram Jaccard >= 0.3 over en docs (inverted-index join, no
     # cross product). n=2/t=0.3 chosen so the fixture yields a non-empty,
-    # non-huge pair set.
+    # non-huge pair set. Runs the PRODUCTION capped form; the SQL above
+    # implements the identical cap.
     from ..operators.dedup import ngram_jaccard_pairs
 
     docs = T(spark, sf, "documents").filter(F.col("lang") == "en")
-    # max_shingle_freq=None: the EXACT form, to match the oracle SQL
-    # (the production default is a finite hot-shingle cap)
-    return ngram_jaccard_pairs(docs, threshold=0.3, n=2, max_shingle_freq=None)
+    return ngram_jaccard_pairs(docs, threshold=0.3, n=2, max_shingle_freq=1000)
 
 
 @q(

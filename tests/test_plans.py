@@ -127,3 +127,20 @@ def test_pandas_udfs_are_arrow_vectorized_not_per_row(spark):
     assert "ArrowEvalPython" in p1 and "BatchEvalPython" not in p1
     p2 = plan_of(triples_from_pages(pages), "simple")
     assert "MapInPandas" in p2 and "BatchEvalPython" not in p2
+
+
+def test_ingest_asof_dedup_single_shuffle(spark):
+    """repartition(url) feeds the ranking window's required hash
+    distribution: the as-of recrawl dedup must cost exactly ONE
+    Exchange, not two (round-2 plan audit)."""
+    from relation_extraction_spark.operators.asof import latest_per_key
+
+    raw = spark.createDataFrame(
+        [("u1", 1), ("u1", 2), ("u2", 1)], "url string, warc_ts long"
+    )
+    p = plan_of(latest_per_key(raw.repartition(64, "url"), ["url"], "warc_ts"))
+    n_exchange = sum(
+        1 for line in p.splitlines() if line.strip().startswith("(")
+        and "Exchange" in line and "+-" not in line and "*" not in line
+    )
+    assert n_exchange <= 1, p
