@@ -1,62 +1,114 @@
 """Document-level pronoun coreference (rule-based, deterministic).
 
-The reference's compiler is per-sentence; a KG built from web pages
+The extraction compiler is per-sentence; a KG built from web pages
 loses every fact whose subject is "he/she/it/they". This stage resolves
-pronoun SUBJECTS to the most recent preceding entity mention in the
-same document — the classic recency heuristic, deterministic and
-model-free (no coref models exist in this environment).
+pronoun SUBJECTS against antecedents tracked across the document.
 
-Spark shape (D9 grouped-map): sentences are grouped by url with
-``applyInPandas`` — the ONLY stage in the engine that legitimately
-needs whole-document state (antecedent tracking crosses sentence
+Round-2 advisor findings fixed here:
+
+- INPUT IS THE FUSED EXTRACTION FRAME (url, sent_id, triples[],
+  mentions[]) — the stage never re-tokenizes or re-tags a sentence, so
+  wiring it after extract duplicates no work.
+- SUBJECT-POSITION PREFERENCE: a pronoun resolves to the most recent
+  prior TRIPLE SUBJECT (the nsubj analogue), falling back to the most
+  recent prior NP mention only when no compatible subject exists. The
+  old recency-over-all-mentions rule resolved "She" in "Marie Curie
+  discovered polonium. She studied physics." to "polonium" (the
+  OBJECT), fabricating facts.
+- GENDER GATE: he/she require a person-like antecedent (every
+  alphabetic token capitalized — a proper-name shape); it/this require
+  a NON-person-like one; they/these accept either. An incompatible or
+  absent antecedent drops the triple (an unresolvable pronoun subject
+  is noise, not a fact).
+
+Spark shape (D9 grouped-map): fused rows are grouped by url with
+``applyInPandas`` — the only stage that legitimately needs
+whole-document state (antecedent tracking crosses sentence
 boundaries), so it pays exactly one shuffle on url. At 10^12 docs that
 shuffle is url-bucketed and skew-free (a url's sentence count is
-bounded), and upstream tables are already bucketed by url, so AQE can
-often satisfy it from the existing layout.
-
-Resolution rule (deterministic):
-- antecedent candidates = NP mentions emitted per sentence, in order;
-- a triple whose subject is exactly a subject pronoun (he, she, it,
-  they, this, these) is rewritten to the LAST mention of an earlier
-  sentence (recency); sentence-internal mentions are not candidates
-  (the pronoun usually precedes them in a later clause);
-- no antecedent yet -> the triple is dropped (an unresolvable pronoun
-  subject is noise, not a fact);
-- objects and non-pronoun subjects pass through untouched.
+bounded), and the upstream fused table is already bucketed by url.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.nlp import analyze_sentence
-
-SUBJECT_PRONOUNS = {"he", "she", "it", "they", "this", "these"}
+#: pronoun -> antecedent class it may resolve to
+PRONOUN_CLASS = {
+    "he": "person",
+    "she": "person",
+    "it": "thing",
+    "this": "thing",
+    "they": "any",
+    "these": "any",
+}
 
 COREF_TRIPLE_COLS = (
     "url string, sent_id int, subj string, pred string, obj string, "
     "conf double, resolved boolean"
 )
 
+#: confidence discount applied to a rewritten (resolved) triple
+RESOLVED_CONF_FACTOR = 0.9
 
-def resolve_document(sent_rows: list[tuple[int, str]]) -> list[dict]:
-    """Pure core (oracle-shareable): [(sent_id, sentence)] sorted ->
-    triples with pronoun subjects resolved by recency."""
-    out = []
-    last_mention: str | None = None
-    for sid, sentence in sent_rows:
-        triples, mentions = analyze_sentence(sentence)
-        for t in triples:
-            subj = t["subj"]
-            resolved = False
-            if subj.lower() in SUBJECT_PRONOUNS:
-                if last_mention is None:
+
+def person_like(surface: str) -> bool:
+    """Proper-name shape: non-empty, every alphabetic token capitalized
+    ("Marie Curie", "Spark"), rejecting common-noun phrases ("the lab",
+    "hash join")."""
+    toks = [t for t in surface.split() if t and t[0].isalpha()]
+    return bool(toks) and all(t[0].isupper() for t in toks)
+
+
+class _Antecedents:
+    """Per-document antecedent state, most-recent-wins per class."""
+
+    def __init__(self) -> None:
+        self.last_subject: dict[str, str | None] = {"person": None, "thing": None}
+        self.last_mention: dict[str, str | None] = {"person": None, "thing": None}
+        self.last_subject_any: str | None = None
+        self.last_mention_any: str | None = None
+
+    def observe_subject(self, surface: str) -> None:
+        cls = "person" if person_like(surface) else "thing"
+        self.last_subject[cls] = surface
+        self.last_subject_any = surface
+
+    def observe_mention(self, surface: str) -> None:
+        cls = "person" if person_like(surface) else "thing"
+        self.last_mention[cls] = surface
+        self.last_mention_any = surface
+
+    def resolve(self, pronoun: str) -> str | None:
+        cls = PRONOUN_CLASS[pronoun]
+        if cls == "any":
+            return self.last_subject_any or self.last_mention_any
+        return self.last_subject[cls] or self.last_mention[cls]
+
+
+def _seq(x):
+    """None-safe iteration (Arrow hands array<struct> columns to pandas
+    as numpy object arrays, where ``x or []`` is ambiguous)."""
+    return () if x is None else x
+
+
+def resolve_fused_rows(rows: list[tuple[int, list, list]]) -> list[dict]:
+    """Pure core (oracle-shareable, no Spark): fused extraction rows
+    ``[(sent_id, triples, mentions)]`` SORTED by sent_id -> resolved
+    triples. ``triples``/``mentions`` carry dicts with the fused-frame
+    struct fields (subj/pred/obj/conf, mention/start/end)."""
+    out: list[dict] = []
+    state = _Antecedents()
+    for sid, triples, mentions in rows:
+        for t in _seq(triples):
+            subj, resolved = t["subj"], False
+            key = subj.lower()
+            if key in PRONOUN_CLASS:
+                ante = state.resolve(key)
+                if ante is None:
                     continue
-                subj = last_mention
-                resolved = True
+                subj, resolved = ante, True
             if subj.lower() == t["obj"].lower():
                 continue
             out.append(
@@ -65,33 +117,40 @@ def resolve_document(sent_rows: list[tuple[int, str]]) -> list[dict]:
                     "subj": subj,
                     "pred": t["pred"],
                     "obj": t["obj"],
-                    "conf": t["conf"] * (0.9 if resolved else 1.0),
+                    "conf": t["conf"] * (RESOLVED_CONF_FACTOR if resolved else 1.0),
                     "resolved": resolved,
                 }
             )
-        if mentions:
-            # last NON-pronoun mention of this sentence becomes the
-            # antecedent for following sentences
-            for m in reversed(mentions):
-                if m["mention"].lower() not in SUBJECT_PRONOUNS:
-                    last_mention = m["mention"]
-                    break
+        # update state AFTER resolving this sentence's pronouns: the
+        # antecedent must come from an EARLIER sentence.
+        for t in _seq(triples):
+            if t["subj"].lower() not in PRONOUN_CLASS:
+                state.observe_subject(t["subj"])
+        for m in _seq(mentions):
+            if m["mention"].lower() not in PRONOUN_CLASS:
+                state.observe_mention(m["mention"])
     return out
 
 
-def coref_triples(sentences: DataFrame) -> DataFrame:
-    """sentences(url, sent_id, sentence) -> coref-resolved triples.
+def coref_triples_from_fused(fused: DataFrame) -> DataFrame:
+    """fused(url, sent_id, triples, mentions) -> coref-resolved triples.
 
     Grouped-map per url: one shuffle, whole-document antecedent state
-    inside the Arrow batch.
+    inside the Arrow batch. Non-pronoun triples pass through with
+    ``resolved = false``; pronoun-subject triples are rewritten (conf
+    discounted) or dropped when unresolvable.
     """
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         url = pdf["url"].iloc[0]
-        rows = resolve_document(
+        ordered = pdf.sort_values("sent_id")
+        rows = resolve_fused_rows(
             list(
-                pdf.sort_values("sent_id")[["sent_id", "sentence"]]
-                .itertuples(index=False, name=None)
+                zip(
+                    ordered["sent_id"].tolist(),
+                    ordered["triples"].tolist(),
+                    ordered["mentions"].tolist(),
+                )
             )
         )
         return pd.DataFrame(
@@ -102,10 +161,12 @@ def coref_triples(sentences: DataFrame) -> DataFrame:
                 "pred": pd.Series([r["pred"] for r in rows], dtype=object),
                 "obj": pd.Series([r["obj"] for r in rows], dtype=object),
                 "conf": pd.Series([r["conf"] for r in rows], dtype="float64"),
-                "resolved": pd.Series(
-                    [r["resolved"] for r in rows], dtype="bool"
-                ),
+                "resolved": pd.Series([r["resolved"] for r in rows], dtype="bool"),
             }
         )
 
-    return sentences.groupBy("url").applyInPandas(per_doc, schema=COREF_TRIPLE_COLS)
+    return (
+        fused.select("url", "sent_id", "triples", "mentions")
+        .groupBy("url")
+        .applyInPandas(per_doc, schema=COREF_TRIPLE_COLS)
+    )

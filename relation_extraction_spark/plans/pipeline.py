@@ -83,6 +83,12 @@ class PipelineConfig:
     # and starve the Arrow-UDF stages), and co-locates url joins. On a
     # real cluster this scales with executor count.
     n_buckets: int = 64
+    # document-level pronoun coreference over the fused extraction frame
+    # (operators/coref.py): pronoun-subject triples are rewritten to a
+    # gender-compatible subject-position antecedent (conf x0.9, resolved
+    # flag) or dropped; non-pronoun triples pass through untouched, so
+    # golden P/R over non-pronoun fixtures is unchanged by construction.
+    coref: bool = False
     resume: bool = True
     run_id: str = "run-0"
     input_parquet: str | None = None  # pre-generated corpus (bench path)
@@ -266,6 +272,14 @@ class Pipeline:
             StorageLevel.MEMORY_AND_DISK
         )
         triples, mentions = split_extractions(fused)
+        if self.cfg.coref:
+            # same persisted fused frame — coref re-tokenizes nothing;
+            # one extra url-keyed shuffle. The committed triples table
+            # gains a `resolved` column (downstream stages select their
+            # columns by name, so the wider schema is inert to them).
+            from ..operators.coref import coref_triples_from_fused
+
+            triples = coref_triples_from_fused(fused)
         info.update(
             self._commit_stage(
                 "extract",
@@ -276,6 +290,14 @@ class Pipeline:
             )
         )
         fused.unpersist()
+        if self.cfg.coref:
+            n_resolved = (
+                self.tables["triples"].read(self.spark).filter("resolved").count()
+            )
+            self._append_metrics(
+                [("coref_resolved_triples", float(n_resolved))], "extract"
+            )
+            info["n_resolved"] = n_resolved
         info["n_mismatch"] = n_mismatch
         return info
 

@@ -1170,6 +1170,21 @@ def q_kg_canonicalize(spark, sf):
     )
 
 
+@q("kg_coref_triples")  # rows-only: pattern compiler + grouped-map state
+def q_kg_coref(spark, sf):
+    # Document-level pronoun coreference over the FUSED extraction frame
+    # (no re-tokenization; one url-keyed shuffle). Pronoun-subject
+    # triples resolve to a gender-compatible subject-position antecedent
+    # or drop; everything else passes through with resolved = false.
+    from ..operators.coref import coref_triples_from_fused
+    from ..operators.extract import extractions_from_sentences, sentences_from_pages
+
+    fused = extractions_from_sentences(
+        sentences_from_pages(_fixture_pages(spark, sf), lang="en")
+    )
+    return coref_triples_from_fused(fused)
+
+
 @q("kg_materialize_edges")
 def q_kg_edges(spark, sf):
     from ..operators.canonicalize import canonicalize
