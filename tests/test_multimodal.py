@@ -153,3 +153,58 @@ def test_undecodable_format_surfaces_as_nulls(spark):
     )
     rows = decode_images(media).collect()
     assert len(rows) == 1 and rows[0].width is None
+
+
+def test_ahash_locality_one_pixel():
+    """The 64-bit average-hash is locality-sensitive: a 1-pixel
+    perturbation moves hamming by at most a few bits (the round-2
+    crc32 'phash' scattered it across all bits), while a different
+    image lands far away."""
+    import numpy as np
+
+    from relation_extraction_spark.operators.multimodal import (
+        bmp_image_kernel,
+        perturbed_bmp_bytes,
+        real_bmp_bytes,
+    )
+
+    for i in range(25):
+        a = bmp_image_kernel(real_bmp_bytes(i))["phash"]
+        b = bmp_image_kernel(perturbed_bmp_bytes(i))["phash"]
+        assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 3, i
+    far = [
+        bmp_image_kernel(real_bmp_bytes(i))["phash"] for i in range(40, 44)
+    ]
+    hams = [
+        bin((x ^ y) & ((1 << 64) - 1)).count("1")
+        for xi, x in enumerate(far)
+        for y in far[xi + 1 :]
+    ]
+    assert min(hams) > 10  # unrelated images are not near-dups
+
+
+def test_near_dup_pairs_finds_perturbed_bmp(spark):
+    """End-to-end hamming-banded near-dup: every 1-pixel-perturbed BMP
+    is paired with its original; unrelated images produce no pairs."""
+    import pandas as pd
+
+    from relation_extraction_spark.operators.multimodal import (
+        decode_images_arrow,
+        near_dup_image_pairs,
+        perturbed_bmp_bytes,
+        real_bmp_bytes,
+    )
+
+    rows = [(i, "image", real_bmp_bytes(i)) for i in range(30)]
+    rows += [(1000 + i, "image", perturbed_bmp_bytes(i)) for i in range(10)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary",
+    )
+    pairs = near_dup_image_pairs(decode_images_arrow(media), max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for i in range(10):
+        assert (i, 1000 + i) in got, f"perturbed twin of {i} not found"
+        assert got[(i, 1000 + i)] <= 3
+    # no cross-pairs between unrelated originals
+    assert all(b - a == 1000 for (a, b) in got)
