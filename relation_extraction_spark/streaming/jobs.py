@@ -106,6 +106,38 @@ def session_counts(
     )
 
 
+def late_event_filter_batch(
+    events: DataFrame,
+    delay: str = "30 minutes",
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """T4 batch twin of the watermark's late-event drop, for ORACLE
+    verification: arrival order is modeled by ``arrival_col``, the
+    watermark is the running max event time over arrivals minus
+    ``delay``, and an event older than the watermark at its arrival is
+    dropped — exactly Spark's ``withWatermark`` admission rule.
+
+    Scale note: the true streaming operator keeps O(1) watermark state
+    per partition; this batch twin needs a TOTAL arrival order (single-
+    partition running-max window), so it exists to make T4 semantics
+    DuckDB-checkable at fixture scale, not as a 100-TB batch operator —
+    production late-data handling is ``withWatermark`` on the stream
+    (tumbling_counts/session_counts above, tests/test_streaming.py).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        df.withColumn("_wm_max", F.max("ts").over(w))
+        .filter(F.col("ts") >= F.col("_wm_max") - F.expr(f"INTERVAL {delay}"))
+        .drop("_wm_max")
+    )
+
+
 def dedup_events(
     events: DataFrame, watermark: str | None = "2 hours"
 ) -> DataFrame:
