@@ -165,8 +165,8 @@ def tokenize(sentence: str) -> list[str]:
     return TOKEN_RE.findall(sentence)
 
 
-def tag_tokens(tokens: list[str]) -> str:
-    """Lexical tags + one contextual repair pass.
+def _repair_tags(tags: list[str]) -> str:
+    """One contextual repair pass over lexical tags (in place).
 
     A verb-preferred word right after a determiner/adjective/preposition
     is really a noun ("a hash join", "with a scan"); the repair is
@@ -174,7 +174,6 @@ def tag_tokens(tokens: list[str]) -> str:
     stay one NP, but a genuine noun breaks the chain ("the engine scans"
     keeps "scans" verbal).
     """
-    tags = [tag_word(t) for t in tokens]
     retagged_prev = False
     for i, t in enumerate(tags):
         if t == "V" and i > 0 and (tags[i - 1] in "DJP" or retagged_prev):
@@ -183,6 +182,19 @@ def tag_tokens(tokens: list[str]) -> str:
         else:
             retagged_prev = False
     return "".join(tags)
+
+
+def tag_tokens(tokens: list[str]) -> str:
+    """Lexical tags + the contextual repair pass."""
+    return _repair_tags([tag_word(t) for t in tokens])
+
+
+def _token_matches(sentence: str):
+    """ONE regex pass returning the token MATCH OBJECTS (the old path
+    ran TOKEN_RE twice per sentence: findall for tokens, finditer for
+    mention offsets). Char offsets are read lazily off the matches —
+    only the first/last token of each actual mention ever needs one."""
+    return list(TOKEN_RE.finditer(sentence))
 
 
 # NP chunk: optional det, adjectives, 1+ nouns (kept flat; compound nouns
@@ -205,22 +217,25 @@ def _reduce(tags: str):
     """Collapse NP spans to 'E'; return (reduced string, span list).
 
     ``spans[i]`` gives the (tok_start, tok_end) token range of reduced
-    position i (non-NP positions map to single tokens).
+    position i (non-NP positions map to single tokens). ONE C-level
+    ``finditer`` pass (leftmost-greedy == the old per-position match
+    loop, since D?J*N+ matches can't start mid-match) instead of a
+    Python ``match`` call at every position.
     """
     out = []
     spans = []
-    i = 0
-    n = len(tags)
-    while i < n:
-        m = NP_RE.match(tags, i)
-        if m and m.end() > i:
-            out.append("E")
-            spans.append((i, m.end()))
-            i = m.end()
-        else:
+    pos = 0
+    for m in NP_RE.finditer(tags):
+        s, e = m.start(), m.end()
+        for i in range(pos, s):
             out.append(tags[i])
             spans.append((i, i + 1))
-            i += 1
+        out.append("E")
+        spans.append((s, e))
+        pos = e
+    for i in range(pos, len(tags)):
+        out.append(tags[i])
+        spans.append((i, i + 1))
     return "".join(out), spans
 
 
@@ -356,11 +371,17 @@ def extract_from_sentence(sentence: str):
 
 
 def _extract_tagged(tokens: list[str], tags: str):
-    """Pattern matching over a pre-tagged sentence (shared by the fused
-    triples+mentions pass so tokenize/tag run once per sentence)."""
+    """Pattern matching over a pre-tagged sentence (compat wrapper —
+    the fused path reuses a shared ``_reduce`` via ``_extract_core``)."""
     if len(tokens) < 3:
         return []
     reduced, spans = _reduce(tags)
+    return _extract_core(tokens, tags, reduced, spans)
+
+
+def _extract_core(tokens: list[str], tags: str, reduced: str, spans):
+    """Pattern matching given a pre-reduced sentence: the reduce pass is
+    computed ONCE per sentence and shared with mention detection."""
     out = []
     for pat, conf, kind in PATTERNS:
         pos = 0
@@ -393,6 +414,8 @@ def _extract_tagged(tokens: list[str], tags: str):
         arcs = []
     else:
         arcs = _arcs_tagged(tokens, tags, reduced, spans)
+    if not arcs:  # dict construction is pure overhead with no arcs
+        return _dedupe_triples(out)
     np_by_head = {
         spans[ri][1] - 1: spans[ri]
         for ri, ch in enumerate(reduced)
@@ -417,7 +440,11 @@ def _extract_tagged(tokens: list[str], tags: str):
             pred = tokens[a["dep"]].lower()
             if subj and obj and subj.lower() != obj.lower():
                 out.append({"subj": subj, "pred": pred, "obj": obj, "conf": 0.60})
-    # dedupe within sentence, keep max conf, deterministic order
+    return _dedupe_triples(out)
+
+
+def _dedupe_triples(out: list[dict]) -> list[dict]:
+    """Dedupe within sentence, keep max conf, deterministic order."""
     best = {}
     for t in out:
         k = (t["subj"].lower(), t["pred"], t["obj"].lower())
@@ -436,26 +463,58 @@ def detect_mentions(sentence: str):
 
 
 def analyze_sentence(sentence: str):
-    """Fused D5+D6: (triples, mentions) from ONE tokenize/tag pass."""
-    tokens = tokenize(sentence)
-    if not tokens:
+    """Fused D5+D6: (triples, mentions) from ONE tokenize/tag pass and
+    ONE shared NP-reduce pass (the old path tokenized once but ran the
+    NP chunker twice — inside extraction and again for mentions — and
+    re-scanned the sentence a second time for char offsets)."""
+    ms = _token_matches(sentence)
+    if not ms:
         return [], []
+    tokens = [m.group() for m in ms]
     tags = tag_tokens(tokens)
-    return _extract_tagged(tokens, tags), _mentions_tagged(sentence, tokens, tags)
+    reduced, spans = _reduce(tags)
+    triples = (
+        _extract_core(tokens, tags, reduced, spans) if len(tokens) >= 3 else []
+    )
+    return triples, _mentions_core(tokens, ms, reduced, spans)
 
 
-def _mentions_tagged(sentence: str, tokens: list[str], tags: str):
-    # char offsets per token (re-scan once)
-    offs = [m.span() for m in TOKEN_RE.finditer(sentence)]
+@lru_cache(maxsize=65536)
+def analyze_sentence_cached(sentence: str):
+    """Memoized ``analyze_sentence`` (bounded LRU, per executor worker).
+
+    Web corpora repeat sentences heavily — boilerplate, navigation
+    text, recrawl dups, quotes; the bench corpus measures a 42%
+    exact-repeat rate — so the hot batch paths (operators/extract.py)
+    skip re-parsing repeats entirely. The cache degrades gracefully to
+    a no-op on fully-unique text and is bounded at ~tens of MB.
+    Callers MUST NOT mutate the returned lists/dicts.
+    """
+    return analyze_sentence(sentence)
+
+
+def _mentions_core(tokens, ms, reduced: str, spans):
+    """Mention rows from the shared reduce pass ('E' positions ARE the
+    NP chunks — no second NP_RE scan). ``ms`` are the token match
+    objects; char offsets are read only for emitted mentions."""
     out = []
-    for m in NP_RE.finditer(tags):
-        s, e = m.start(), m.end()
+    for ri, ch in enumerate(reduced):
+        if ch != "E":
+            continue
+        s, e = spans[ri]
         mention = _np_text(tokens, s, e)
         if not mention:
             continue
         # offset of first non-det token
         first = s + (1 if tag_word(tokens[s]) == "D" and e - s > 1 else 0)
         out.append(
-            {"mention": mention, "start": offs[first][0], "end": offs[e - 1][1]}
+            {"mention": mention, "start": ms[first].start(), "end": ms[e - 1].end()}
         )
     return out
+
+
+def _mentions_tagged(sentence: str, tokens: list[str], tags: str):
+    """Compat wrapper over ``_mentions_core`` (oracle/test callers)."""
+    ms = _token_matches(sentence)
+    reduced, spans = _reduce(tags)
+    return _mentions_core(tokens, ms, reduced, spans)

@@ -24,7 +24,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.nlp import analyze_sentence, detect_mentions, extract_from_sentence
+from ..functions.nlp import (
+    analyze_sentence_cached,
+    detect_mentions,
+    extract_from_sentence,
+)
 from ..functions.segment import segment
 
 TRIPLE_COLS = "url string, sent_id int, subj string, pred string, obj string, conf double"
@@ -148,7 +152,7 @@ def _extraction_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         for url, sid, sent in zip(
             pdf["url"].to_numpy(), pdf["sent_id"].to_numpy(), pdf["sentence"].to_numpy()
         ):
-            triples, mentions = analyze_sentence(sent)
+            triples, mentions = analyze_sentence_cached(sent)
             if not triples and not mentions:
                 continue
             urls.append(url)

@@ -42,7 +42,10 @@ spark = get_spark(app_name="dataplane", master=f"local[{{cores}}]",
                   shuffle_partitions=2 * cores,
                   extra_conf={{"spark.local.dir": {local_dir!r}}})
 raw = spark.read.parquet({corpus!r})
-pages = latest_per_key(raw, ["url"], "warc_ts").repartition(64, "url")
+# repartition FIRST: HashPartitioning(url, 64) satisfies the as-of
+# window's required distribution, so the full-html corpus shuffles
+# ONCE, not twice (mirrors plans/pipeline.py stage_ingest)
+pages = latest_per_key(raw.repartition(64, "url"), ["url"], "warc_ts")
 pages = pages.select("url", "lang", extract_text("html").alias("text"))
 sents = sentences_from_pages(pages, lang="en")
 t0 = time.time()
