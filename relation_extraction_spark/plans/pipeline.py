@@ -141,7 +141,14 @@ class Pipeline:
         re-computable from the committed data tables on a crash — so
         deferring them costs no durability the system relies on;
         lineage, which resume logic reads, still commits per stage with
-        its producing table."""
+        its producing table.
+
+        CONTRACT for direct ``stage_*`` callers (round-2 advisor
+        finding): metrics land in the table only at ``flush_metrics()``,
+        which ``run()`` invokes in a finally. A caller invoking stage
+        methods directly must call ``flush_metrics()`` itself (or use
+        the Pipeline as a context manager, which flushes on exit) or
+        buffered rows are dropped with the instance."""
         self._metric_buf.extend(
             {
                 "metric": name,
@@ -158,6 +165,14 @@ class Pipeline:
                 self._metric_buf, METRICS_SCHEMA, stage="run"
             )
             self._metric_buf = []
+
+    # context-manager form: direct stage_* callers get the same
+    # flush-on-exit durability run() provides (see _append_metrics)
+    def __enter__(self) -> "Pipeline":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.flush_metrics()
 
     def _commit_stage(
         self,

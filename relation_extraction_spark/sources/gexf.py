@@ -45,9 +45,16 @@ def export_gexf(
     node_ids = sorted({r.src_id for r in top} | {r.dst_id for r in top})
     labels: dict = {}
     if entities is not None and node_ids:
-        # bounded broadcast-style lookup: only the exported nodes' labels
+        # bounded broadcast-style lookup: only the exported nodes' labels.
+        # The id type is DERIVED from the edges schema (string node ids
+        # are first-class in connected_components — a hardcoded `long`
+        # crashed the export for them; round-2 advisor finding).
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = edges.schema["src_id"].dataType
         ids_df = edges.sparkSession.createDataFrame(
-            [(i,) for i in node_ids], "canonical_id long"
+            [(i,) for i in node_ids],
+            StructType([StructField("canonical_id", id_type)]),
         )
         for r in (
             entities.join(F.broadcast(ids_df), "canonical_id")

@@ -221,3 +221,27 @@ def test_gexf_export_roundtrip(spark, tmp_path):
     assert {e.get("label") for e in edgs} == {"powers", "holds"}
     assert {n.get("label") for n in nodes} == {"spark engine", "the <table>", "rows"}
     assert xml.startswith("<?xml")
+
+
+def test_gexf_export_string_node_ids(spark, tmp_path):
+    """String node ids (first-class in connected_components) must label
+    correctly: the lookup frame's id type is derived from the edges
+    schema, not hardcoded long (round-2 advisor crash)."""
+    import xml.etree.ElementTree as ET
+
+    from relation_extraction_spark.sources.gexf import export_gexf
+
+    edges = spark.createDataFrame(
+        [("a", "b", "links", 4), ("b", "c", "cites", 2)],
+        "src_id string, dst_id string, pred string, weight long",
+    )
+    entities = spark.createDataFrame(
+        [("a", ["alpha form"]), ("b", ["beta"]), ("c", ["gamma"])],
+        "canonical_id string, surface_forms array<string>",
+    )
+    path = str(tmp_path / "gs.gexf")
+    export_gexf(edges, entities, path, max_edges=10)
+    root = ET.parse(path).getroot()
+    ns = {"g": "http://gexf.net/1.2"}
+    labels = {n.get("label") for n in root.findall(".//g:node", ns)}
+    assert labels == {"alpha form", "beta", "gamma"}
