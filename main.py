@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--coref",
+        action="store_true",
+        help="resolve pronoun-subject triples document-wide (operators/coref.py)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -52,6 +57,7 @@ def main() -> None:
         resume=not args.no_resume,
         run_id=args.run_id,
         input_parquet=args.input_parquet,
+        coref=args.coref,
     )
     stages = STAGES if args.stage == "all" else args.stage.split(",")
     t0 = time.time()

@@ -4,13 +4,24 @@
                           (JVM-side, whole-stage codegen; no UDF).
 - ``brute_force_topk``  — exact top-k neighbors: broadcast the (small)
                           query set against the corpus, rank per query.
-- ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH buckets
+- ``lsh_bucketed_topk`` — scale path A: random-hyperplane LSH buckets
                           (deterministic seeded planes), candidates only
                           join within a bucket; recall<1, cost ~1/buckets.
+- ``ivf_topk``          — scale path B (round 3): spherical-k-means IVF.
+                          A bounded deterministic sample trains
+                          ``n_centroids`` centroids driver-side (numpy
+                          Lloyd, same explicit-bound philosophy as the
+                          CC driver fast path); corpus rows are assigned
+                          to ONE cell by a pure-Column argmax, queries
+                          probe their ``nprobe`` nearest cells. Unlike
+                          LSH's data-oblivious planes, IVF adapts cells
+                          to the data distribution — better recall/cost
+                          on clustered embeddings.
 
 At 100 TB the brute-force form is only sane with a broadcast query side
-(it is: queries << corpus); the LSH form shards the corpus by bucket key
-so each executor scans one bucket — the IVF-style layout.
+(it is: queries << corpus); the LSH/IVF forms shard the corpus by
+bucket/cell key so each executor scans one shard, and the corpus table
+is written partitioned by that key.
 """
 
 from __future__ import annotations
@@ -141,6 +152,126 @@ def lsh_probe_buckets_expr(
         lambda s: s["mask"].bitwiseXOR(bucket),
     )
     return F.concat(F.array(bucket), flips)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means centroids from a BOUNDED deterministic sample.
+
+    The sample is TakeOrderedAndProject on a hash of the id (each task
+    keeps its local top-``sample``, the driver merges — no full sort, no
+    O(corpus) driver work; driver memory = sample x dim floats). Lloyd
+    iterations run in numpy on the driver; centroids are L2-normalized
+    each round so argmax-dot == argmax-cosine at assignment time.
+    Deterministic: hash order, first-k init, fixed iteration count.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.pmod(F.xxhash64("_id"), F.lit(1_000_003)), "_id")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([list(r._v) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(X))
+    C = X[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return [[float(x) for x in c] for c in C]
+
+
+def ivf_cell_expr(vec_col: str | Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id as a pure Column (argmax of dots; the
+    row's own norm is constant across centroids, so with normalized
+    centroids argmax-dot == argmax-cosine)."""
+    dots = F.array(
+        *[
+            dot_expr(vec_col, F.array(*[F.lit(x) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_probe_cells_expr(
+    vec_col: str | Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The query's ``nprobe`` nearest cells as array<int> (pure Column):
+    (−dot, cell) structs sorted ascending == cells by descending dot."""
+    cand = F.array(
+        *[
+            F.struct(
+                (-dot_expr(vec_col, F.array(*[F.lit(x) for x in c]))).alias(
+                    "negdot"
+                ),
+                F.lit(j).alias("cell"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.array_sort(cand)
+    return F.transform(
+        F.slice(ranked, 1, min(nprobe, len(centroids))), lambda s: s["cell"]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: corpus sharded by nearest-centroid cell (ONE cell per
+    row — the partition/write key at scale), queries fan out to their
+    ``nprobe`` nearest cells, exact cosine rank within the probed cells.
+    Pass pre-trained ``centroids`` to skip the (bounded) training scan.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, sample, id_col=id_col, vec_col=vec_col
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        ivf_cell_expr(vec_col, centroids).alias("_cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(ivf_probe_cells_expr(vec_col, centroids, nprobe)).alias("_cell"),
+    )
+    scored = c.join(F.broadcast(q), "_cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr("_qv", "_cv").alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
 
 
 def lsh_bucketed_topk(

@@ -994,6 +994,19 @@ def q_ann_lsh(spark, sf):
     )
 
 
+@q("ann_topk_ivf")  # rows-only: recall<1 by design vs exact oracle
+def q_ann_ivf(spark, sf):
+    # IVF scale path (round 3): data-adaptive spherical-k-means cells,
+    # bounded deterministic driver-side training, nprobe query fan-out
+    # (recall >= 0.8/0.95 property-pinned in test_properties).
+    from ..operators.similarity import ivf_topk
+
+    emb = T(spark, sf, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=4
+    )
+
+
 _SW_EN_SQL = "['the','a','an','and','or','of','in','on','at','is','are','was','with','for','to','by','from','this','that','it']"
 _SW_ES_SQL = "['el','la','los','las','un','una','y','o','de','en','es','son','con','para','por','que','este','esta']"
 
@@ -1643,6 +1656,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "dedup_stateful_by_key",
     # representative generic relational spread
     "join_broadcast",

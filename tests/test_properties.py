@@ -208,3 +208,43 @@ def test_ann_multi_probe_recall(spark, sf_dir):
     assert r_half > 0.55, f"margin-ranked probing shows no lift: {r_half:.3f}"
     # and more probes never hurt
     assert r_half >= recall(4, 1)
+
+
+def test_ann_ivf_recall_and_determinism(spark, sf_dir):
+    """IVF ANN (round 3): spherical-k-means cells + nprobe fan-out.
+
+    On the near-random fixture embeddings (hardest case — see the
+    multi-probe note above) recall tracks the probed-cell fraction, so
+    the gate probes half the cells for >= 0.8 and most cells for >= 0.95;
+    determinism across repartitioning pins the bounded driver-side
+    training sample's hash-ordered selection."""
+    from relation_extraction_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 30")
+
+    def top5(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = top5(brute_force_topk(emb, queries, k=5))
+    total = sum(len(v) for v in exact.values())
+
+    def recall(n_centroids, nprobe):
+        got = top5(
+            ivf_topk(emb, queries, k=5, n_centroids=n_centroids, nprobe=nprobe)
+        )
+        return sum(len(exact[q] & got.get(q, set())) for q in exact) / total
+
+    assert recall(8, 4) >= 0.8
+    assert recall(8, 7) >= 0.95
+    # training is deterministic under corpus repartitioning
+    c1 = train_ivf_centroids(emb, n_centroids=8, sample=512)
+    c2 = train_ivf_centroids(emb.repartition(13), n_centroids=8, sample=512)
+    assert c1 == c2
