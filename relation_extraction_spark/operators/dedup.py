@@ -232,7 +232,20 @@ def minhash_lsh_pairs(
     bounds recall/cost. Shuffles on band-hash only; never all-pairs.
     """
     rows = k // bands
-    sig = minhash_signature(docs, k=k, n=n, seed=seed, id_col=id_col, text_col=text_col)
+    # ONE shingle computation for the whole operator: the shingle-set
+    # frame is lazily checkpointed and feeds BOTH the signature branch
+    # (explode+hash+min-aggs) and the two exact-verify sides — the old
+    # formulation re-derived ngram_shingles three times (same class of
+    # defect as the round-2 n-gram regression).
+    texts = docs.select(
+        F.col(id_col).alias("doc"), ngram_shingles(text_col, n).alias("shset")
+    ).localCheckpoint(eager=False)
+    sh = texts.select("doc", F.explode("shset").alias("sh")).withColumn(
+        "h", hash32_expr("sh")
+    )
+    sig = sh.groupBy("doc").agg(*minhash_aggs("h", k, seed)).select(
+        "doc", F.array(*[f"mh_{i}" for i in range(k)]).alias("signature")
+    )
     banded = sig.select(
         "doc",
         F.posexplode(
@@ -253,9 +266,6 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-    )
-    texts = docs.select(
-        F.col(id_col).alias("doc"), ngram_shingles(text_col, n).alias("shset")
     )
     ta = texts.select(F.col("doc").alias("id_a"), F.col("shset").alias("sha"))
     tb = texts.select(F.col("doc").alias("id_b"), F.col("shset").alias("shb"))
