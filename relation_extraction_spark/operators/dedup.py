@@ -344,7 +344,11 @@ def simhash_pairs(
     narrow chunks and many candidate collisions — keep it small (<=3 for
     near-dup detection) on big corpora.
     """
-    sig = simhash_signature(docs, id_col=id_col, text_col=text_col)
+    # both join sides reference the signature frame — checkpoint it so
+    # the 64-bit-agg lineage runs once, not twice
+    sig = simhash_signature(docs, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=False
+    )
     chunks = sig.select(
         "doc",
         "simhash",
