@@ -368,11 +368,35 @@ def simhash_pairs(
     b = chunks.select(
         F.col("doc").alias("id_b"), F.col("simhash").alias("hb"), "chunk", "cv"
     )
+    joined = a.join(b, ["chunk", "cv"]).filter(F.col("id_a") < F.col("id_b"))
+    return _first_agreeing_chunk_pairs(joined, max_hamming)
+
+
+def _first_agreeing_chunk_pairs(joined: DataFrame, max_hamming: int) -> DataFrame:
+    """Dedupe multi-chunk collisions WITHOUT a shuffle: a pair appears
+    in the banded join once per agreeing chunk, and the set of agreeing
+    chunks is computable IN-ROW from ``ha ^ hb`` — keep the pair only at
+    its FIRST agreeing chunk. This replaces the old ``.distinct()`` (a
+    full shuffle of every collision row — the dominant shuffle at high
+    pair density) with a map-side filter; the output pair set is
+    identical since every qualifying pair meets at each agreeing chunk.
+
+    ``joined`` must carry columns (id_a, id_b, ha, hb, chunk).
+    """
+    x = F.expr("ha ^ hb")
+    agree_flags = F.array(
+        *[
+            (
+                F.shiftrightunsigned(x, off).bitwiseAND(F.lit((1 << width) - 1))
+                == 0
+            ).cast("int")
+            for off, width in _simhash_chunk_bounds(max_hamming)
+        ]
+    )
+    first_agree = F.array_position(agree_flags, 1) - 1
     return (
-        a.join(b, ["chunk", "cv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
-        .distinct()
+        joined.filter(F.col("chunk") == first_agree)
+        .select("id_a", "id_b", F.bit_count(x).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -387,7 +387,13 @@ def near_dup_image_pairs(meta: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     from .dedup import _simhash_chunk_bounds
 
-    sig = meta.filter(F.col("phash").isNotNull()).select("media_id", "phash")
+    # both join sides reference the metadata frame; without the lazy
+    # checkpoint each would re-run the (Python) decode pass upstream
+    sig = (
+        meta.filter(F.col("phash").isNotNull())
+        .select("media_id", "phash")
+        .localCheckpoint(eager=False)
+    )
     chunks = sig.select(
         "media_id",
         "phash",
@@ -408,10 +414,7 @@ def near_dup_image_pairs(meta: DataFrame, max_hamming: int = 3) -> DataFrame:
     b = chunks.select(
         F.col("media_id").alias("id_b"), F.col("phash").alias("hb"), "chunk", "cv"
     )
-    return (
-        a.join(b, ["chunk", "cv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    from .dedup import _first_agreeing_chunk_pairs
+
+    joined = a.join(b, ["chunk", "cv"]).filter(F.col("id_a") < F.col("id_b"))
+    return _first_agreeing_chunk_pairs(joined, max_hamming)
