@@ -1157,8 +1157,23 @@ def q_kg_sentences(spark, sf):
 # their semantics — tests/test_pipeline.py)
 
 
+def _fixture_fused(spark, sf):
+    """ONE fused extraction pass over the fixture corpus, lazily
+    checkpointed so composite queries (link -> canonicalize ->
+    materialize) never re-run the Python compiler per branch — the
+    standalone mirror of the pipeline's persisted fused frame."""
+    from ..operators.extract import extractions_from_sentences, sentences_from_pages
+
+    return extractions_from_sentences(
+        sentences_from_pages(_fixture_pages(spark, sf), lang="en")
+    ).localCheckpoint(eager=False)
+
+
 def _fixture_mentions(spark, sf):
-    return q_kg_mentions(spark, sf)
+    from ..operators.extract import split_extractions
+
+    _triples, mentions = split_extractions(_fixture_fused(spark, sf))
+    return mentions
 
 
 @q("kg_link_mentions")
@@ -1172,10 +1187,11 @@ def q_kg_link(spark, sf):
 @q("kg_canonicalize_entities")
 def q_kg_canonicalize(spark, sf):
     from ..operators.canonicalize import canonicalize
+    from ..operators.extract import split_extractions
     from ..operators.linking import link_mentions
     from ..sources.dictionary import entity_dictionary
 
-    mentions = _fixture_mentions(spark, sf)
+    _triples, mentions = split_extractions(_fixture_fused(spark, sf))
     linked = link_mentions(mentions, entity_dictionary(spark))
     entities, _mapping = canonicalize(mentions, linked)
     return entities.select(
@@ -1201,13 +1217,12 @@ def q_kg_coref(spark, sf):
 @q("kg_materialize_edges")
 def q_kg_edges(spark, sf):
     from ..operators.canonicalize import canonicalize
-    from ..operators.extract import triples_from_pages
+    from ..operators.extract import split_extractions
+    from ..operators.graph import materialize_edges
     from ..operators.linking import link_mentions
     from ..sources.dictionary import entity_dictionary
-    from ..operators.graph import materialize_edges
 
-    mentions = _fixture_mentions(spark, sf)
-    triples = triples_from_pages(_fixture_pages(spark, sf), lang="en")
+    triples, mentions = split_extractions(_fixture_fused(spark, sf))
     linked = link_mentions(mentions, entity_dictionary(spark))
     _entities, mapping = canonicalize(mentions, linked, triples)
     return materialize_edges(triples, mapping)
