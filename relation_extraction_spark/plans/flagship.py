@@ -25,7 +25,11 @@ def top_triples(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = docs.select(
         F.col("doc_id").cast("string").alias("url"), "text", "lang"
-    )
+    ).repartition(spark.sparkContext.defaultParallelism * 2)
+    # repartition: the sf fixture is ONE parquet split; without it the
+    # Python extraction stage runs on a single core (at 100 TB the scan
+    # has thousands of splits and this shuffle of two small columns is
+    # unnecessary — keep it only for few-large-files inputs)
     triples = triples_from_pages(pages, lang=lang)
     return (
         triples.groupBy("subj", "pred", "obj")
