@@ -47,10 +47,12 @@ def T(spark: SparkSession, sf: str, name: str) -> DataFrame:
 
 def _spread(spark: SparkSession, df: DataFrame, mult: int = 2) -> DataFrame:
     """Repartition a few-large-files input to full parallelism before an
-    expensive explode/UDF stage. The sf fixtures are ONE parquet split,
-    which would otherwise serialize the whole map side on a single core;
-    at 100 TB the scan has thousands of splits and callers can skip
-    this (the shuffled payload here is just the scanned columns)."""
+    expensive explode stage. The sf fixtures are ONE parquet split, which
+    would otherwise serialize the whole map side on a single core; at
+    100 TB the scan has thousands of splits and callers skip this.
+    Worth it ONLY when the map stage dwarfs a shuffle + task-scheduling
+    round trip (the n-gram shingle explode qualifies: A/B 5.6s spread vs
+    7.6s unspread; the ~1-CPU-second NLP fixture queries do not)."""
     return df.repartition(spark.sparkContext.defaultParallelism * mult)
 
 
@@ -951,7 +953,9 @@ def q_dedup_embedding(spark, sf):
 def q_dedup_minhash(spark, sf):
     from ..operators.dedup import minhash_lsh_pairs
 
-    docs = _spread(spark, T(spark, sf, "documents").filter(F.col("lang") == "en"))
+    # unspread: signature building on the single-split fixture is cheap
+    # relative to the k min-agg shuffles (A/B: 2.3s unspread vs 4.1s)
+    docs = T(spark, sf, "documents").filter(F.col("lang") == "en")
     return minhash_lsh_pairs(docs, threshold=0.3, k=32, bands=8, n=2)
 
 
@@ -962,7 +966,7 @@ def q_dedup_simhash(spark, sf):
     # silently missed pairs at distance 4-16 — round-1 judge finding)
     from ..operators.dedup import simhash_pairs
 
-    docs = _spread(spark, T(spark, sf, "documents").filter(F.col("lang") == "en"))
+    docs = T(spark, sf, "documents").filter(F.col("lang") == "en")
     return simhash_pairs(docs, max_hamming=8)
 
 
@@ -1097,14 +1101,13 @@ def q_fingerprint(spark, sf):
 
 
 def _fixture_pages(spark, sf):
-    """documents fixture in web-pages shape, spread to full parallelism
-    (the fixture is one parquet split; without the repartition every
-    downstream mapInPandas NLP stage would run on ONE core)."""
-    return _spread(
-        spark,
-        T(spark, sf, "documents").select(
-            F.col("doc_id").cast("string").alias("url"), "text", "lang"
-        ),
+    """documents fixture in web-pages shape, UNspread: the fixture's
+    whole extraction workload is ~1 CPU-second, so a spreading shuffle
+    costs more in scheduling + Python-worker spin-up than single-core
+    map time (A/B at local[32]: 0.77s unspread vs 2.3s at 64 parts).
+    At 100 TB the scan has thousands of splits and needs no help."""
+    return T(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang"
     )
 
 
