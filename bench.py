@@ -14,6 +14,7 @@ which yields the BASELINE.md triples/sec figure.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
@@ -60,6 +61,12 @@ def _run() -> dict:
             t0 = time.time()
             fn()
             best = min(best, time.time() - t0)
+            # release the repeat's localCheckpoint RDDs now: they are
+            # freed by the ContextCleaner only once Python GC drops the
+            # DataFrame, so without this dozens of orphaned checkpoint
+            # partitions from EARLIER queries pile up in the JVM and
+            # their late accumulator cleanup perturbs LATER timings
+            gc.collect()
         timings[name] = round(best, 3)
 
     # -------- per-operator headline queries over the sf fixtures
