@@ -40,7 +40,7 @@ from ..operators.extract import (
 )
 from ..operators.graph import cooccurrence_edges, materialize_edges
 from ..operators.linking import link_mentions
-from ..sources.corpus import synthetic_pages
+from ..sources.corpus import PAGES_SCHEMA, synthetic_pages
 from ..sources.dictionary import entity_dictionary
 from ..sources.lakehouse import SnapshotTable
 
@@ -214,7 +214,13 @@ class Pipeline:
             return {"skipped": True}
         t0 = time.time()
         if self.cfg.input_parquet:
-            raw = self.spark.read.parquet(self.cfg.input_parquet)
+            # explicit schema: the input shape is fixed by the spec
+            # (BASELINE.json input_hint), and inference on a cold
+            # session costs ~2.3 s of serial driver time at every
+            # parallelism level (round-4 measurement; see PAGES_SCHEMA)
+            raw = self.spark.read.schema(PAGES_SCHEMA).parquet(
+                self.cfg.input_parquet
+            )
         else:
             raw = synthetic_pages(
                 self.spark,

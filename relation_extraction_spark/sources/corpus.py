@@ -27,6 +27,15 @@ from datetime import datetime, timedelta, timezone
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+#: The binding input-table shape (BASELINE.json input_hint). Readers of a
+#: web_pages parquet directory should pass this explicitly: schema
+#: inference on a cold session costs ~2.3 s of driver-side fixed time
+#: (footer sampling + first-use datasource warmup, measured round 4) —
+#: a pure Amdahl term the pipeline pays at EVERY parallelism level.
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
 _ENTITIES = [
     "Spark", "Flink", "Trino", "Presto", "Hive", "Iceberg", "Parquet",
     "Arrow", "Kafka", "Hadoop", "DuckDB", "Calcite", "Tungsten", "Velox",
@@ -164,8 +173,5 @@ def synthetic_pages(
 
     return (
         spark.range(0, n, 1, parts)
-        .mapInPandas(
-            gen,
-            schema="url string, warc_ts timestamp, html binary, text string, lang string",
-        )
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
     )
