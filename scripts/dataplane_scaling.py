@@ -41,7 +41,8 @@ cores = {cores}
 spark = get_spark(app_name="dataplane", master=f"local[{{cores}}]",
                   shuffle_partitions=2 * cores,
                   extra_conf={{"spark.local.dir": {local_dir!r}}})
-raw = spark.read.parquet({corpus!r})
+from relation_extraction_spark.sources.corpus import PAGES_SCHEMA
+raw = spark.read.schema(PAGES_SCHEMA).parquet({corpus!r})
 # repartition FIRST: HashPartitioning(url, 64) satisfies the as-of
 # window's required distribution, so the full-html corpus shuffles
 # ONCE, not twice (mirrors plans/pipeline.py stage_ingest)
