@@ -208,3 +208,154 @@ def test_near_dup_pairs_finds_perturbed_bmp(spark):
         assert got[(i, 1000 + i)] <= 3
     # no cross-pairs between unrelated originals
     assert all(b - a == 1000 for (a, b) in got)
+
+
+# ----------------------------------------------------------------- real PNG
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """encode_png -> decode_png is pixel-exact for every scanline filter
+    (None/Sub/Up/Average/Paeth) and every 8-bit color type."""
+    import numpy as np
+
+    from relation_extraction_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 4), (9, 7, 2), (13, 11, 3), (6, 6, 4)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        want = arr[:, :, None] if arr.ndim == 2 else arr
+        for ft in [None, 0, 1, 2, 3, 4]:
+            got = decode_png(encode_png(arr, filter_type=ft))
+            assert (got == want).all(), (shape, ft)
+
+
+def test_png_crc_corruption_raises():
+    from relation_extraction_spark.operators.multimodal import (
+        decode_png,
+        real_png_bytes,
+    )
+
+    blob = bytearray(real_png_bytes(1))
+    blob[40] ^= 0xFF  # flip a byte inside a chunk
+    try:
+        decode_png(bytes(blob))
+        raise AssertionError("corrupt PNG decoded without error")
+    except ValueError:
+        pass
+
+
+def test_png_bmp_meta_identity():
+    """A PNG and a BMP encoding of the SAME pixels yield identical
+    metadata (dims, mean_lum, phash) — the invariant the cross-format
+    dup query relies on."""
+    from relation_extraction_spark.operators.multimodal import (
+        bmp_image_kernel,
+        png_image_kernel,
+        real_bmp_bytes,
+        real_png_bytes,
+    )
+
+    for i in range(25):
+        mb = bmp_image_kernel(real_bmp_bytes(i))
+        mp = png_image_kernel(real_png_bytes(i))
+        assert mb == mp, i
+
+
+def test_png_perturbed_twin_is_hamming_near():
+    from relation_extraction_spark.operators.multimodal import (
+        perturbed_png_bytes,
+        png_image_kernel,
+        real_png_bytes,
+    )
+
+    for i in range(10):
+        h0 = png_image_kernel(real_png_bytes(i))["phash"]
+        h1 = png_image_kernel(perturbed_png_bytes(i))["phash"]
+        ham = bin((h0 ^ h1) & ((1 << 64) - 1)).count("1")
+        assert ham <= 3, (i, ham)
+
+
+def test_cross_format_dup_query_matches_oracle_shape(spark):
+    """multimodal_png_cross_format_dup: 100 BMPs + 100 PNG re-encodes of
+    the same pixels -> exactly the pairs (i, 20000+i), deterministically
+    (also proves no accidental phash collisions among the 100 images)."""
+    from relation_extraction_spark.plans.queries import QUERIES
+
+    fn, sql = QUERIES["multimodal_png_cross_format_dup"]
+    rows = fn(spark, "unused").collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [
+        (i, 20_000 + i) for i in range(100)
+    ]
+    assert sql is not None  # oracle-backed despite the Python decode
+
+
+# ----------------------------------------------------------------- real WAV
+
+
+def test_wav_meta_identity_with_stub():
+    """A real PCM WAV of the same samples as the AUD1 stub container
+    yields identical metadata (the audio analogue of BMP==PNG)."""
+    from relation_extraction_spark.operators.multimodal import (
+        fake_audio_bytes,
+        real_wav_bytes,
+        stub_audio_kernel,
+        wav_audio_kernel,
+    )
+
+    for i in range(10):
+        assert wav_audio_kernel(real_wav_bytes(i)) == stub_audio_kernel(
+            fake_audio_bytes(i)
+        ), i
+
+
+def test_wav_stereo_and_8bit():
+    import numpy as np
+
+    from relation_extraction_spark.operators.multimodal import (
+        encode_wav,
+        wav_audio_kernel,
+    )
+
+    # stereo: mirrored channels mono-mix to zero RMS
+    s = np.stack(
+        [np.arange(-500, 500, dtype=np.int16),
+         np.arange(500, -500, -1, dtype=np.int16)], axis=1
+    )
+    m = wav_audio_kernel(encode_wav(s, 8000))
+    assert (m["n_samples"], m["sample_rate"]) == (1000, 8000)
+    assert abs(m["rms"]) < 1e-9
+    # 8-bit PCM is unsigned centered at 128: constant 128 -> rms 0
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + bytes([128] * 4))
+    m8 = wav_audio_kernel(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert m8["n_samples"] == 4 and abs(m8["rms"]) < 1e-9
+
+
+def test_decode_audio_over_real_wav_table(spark):
+    import pandas as pd
+
+    from relation_extraction_spark.operators.multimodal import (
+        decode_audio,
+        real_wav_bytes,
+        stub_audio_kernel,
+        fake_audio_bytes,
+    )
+
+    rows = [(i, "audio", real_wav_bytes(i)) for i in range(16)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary",
+    )
+    got = {r.media_id: r for r in decode_audio(media).collect()}
+    assert len(got) == 16
+    for i in range(16):
+        want = stub_audio_kernel(fake_audio_bytes(i))
+        assert got[i].sample_rate == want["sample_rate"]
+        assert got[i].n_samples == want["n_samples"]
+        assert abs(got[i].rms - want["rms"]) < 1e-9

@@ -47,11 +47,15 @@ def test_driver_window_rotation_partition():
         QUERIES,
     )
 
+    from relation_extraction_spark.plans.queries import _ACTIVE_HALF
+
     names = list(QUERIES)
     pinned, a, b = set(_PINNED), set(_GENERIC_HALF_A), set(_GENERIC_HALF_B)
-    assert len(pinned) == 22 and len(a) == len(b) == 28
+    assert len(pinned) == 22 and {len(a), len(b)} == {28, 29}
     assert not (pinned & a or pinned & b or a & b)  # disjoint
     assert pinned | a | b == set(names)  # exhaustive
     window = set(names[:50])
     assert pinned <= window  # headline surface always driver-checked
-    assert window - pinned in (a, b)  # the rest is exactly one half
+    active = _GENERIC_HALF_B if _ACTIVE_HALF == "B" else _GENERIC_HALF_A
+    # the rest is exactly the active half, minus its overflow tail
+    assert window - pinned == set(active[:28])
