@@ -40,7 +40,15 @@ from pyspark.sql import functions as F
 cores = {cores}
 spark = get_spark(app_name="dataplane", master=f"local[{{cores}}]",
                   shuffle_partitions=2 * cores,
-                  extra_conf={{"spark.local.dir": {local_dir!r}}})
+                  extra_conf={{"spark.local.dir": {local_dir!r},
+                               # JVM-size parity with the e2e harness
+                               # (scaling_bench.py --driver-memory 24g):
+                               # at 500k pages the fused persist + 8
+                               # concurrent tasks thrash GC in the 8g
+                               # default heap and the wide leg pays
+                               # disproportionately. Same heap on BOTH
+                               # legs — the ratio stays a fair measure.
+                               "spark.driver.memory": {driver_mem!r}}})
 from relation_extraction_spark.sources.corpus import PAGES_SCHEMA
 raw = spark.read.schema(PAGES_SCHEMA).parquet({corpus!r})
 # repartition FIRST: HashPartitioning(url, 64) satisfies the as-of
@@ -67,12 +75,13 @@ spark.stop()
 """
 
 
-def run_once(cores: int, corpus: str) -> dict:
+def run_once(cores: int, corpus: str, driver_mem: str = "24g") -> dict:
     code = WORKLOAD.format(
         repo=REPO,
         cores=cores,
         corpus=corpus,
         local_dir=os.path.join(BENCH_ROOT, f"spark_local_dp_{cores}"),
+        driver_mem=driver_mem,
     )
     t0 = time.time()
     proc = subprocess.run(
@@ -97,6 +106,12 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=2)
     ap.add_argument("--large", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--driver-mem", default="24g",
+                    help="JVM heap for BOTH legs (parity with the e2e "
+                         "harness's spark-submit --driver-memory 24g)")
+    ap.add_argument("--out", default=None,
+                    help="output JSON path (default BENCH_dataplane.json; "
+                         "pass a scratch path for diagnostic runs)")
     args = ap.parse_args()
 
     corpus = os.path.join(
@@ -114,8 +129,8 @@ def main() -> None:
     # min-over-repeats then drops the slow windows from both equally.
     small = large = None
     for _ in range(args.repeats):
-        rec_s = run_once(args.small, corpus)
-        rec_l = run_once(args.large, corpus)
+        rec_s = run_once(args.small, corpus, args.driver_mem)
+        rec_l = run_once(args.large, corpus, args.driver_mem)
         if small is None or rec_s["wall_s"] < small["wall_s"]:
             small = rec_s
         if large is None or rec_l["wall_s"] < large["wall_s"]:
@@ -126,12 +141,14 @@ def main() -> None:
     out = {
         "workload": "dataplane extract+link (noop sink)",
         "pages": args.pages,
+        "driver_mem": args.driver_mem,
         "small": small,
         "large": large,
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(out, indent=2))
-    with open(os.path.join(REPO, "BENCH_dataplane.json"), "w") as fh:
+    path = args.out or os.path.join(REPO, "BENCH_dataplane.json")
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
 
 
