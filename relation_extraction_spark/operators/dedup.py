@@ -57,11 +57,15 @@ def ngram_shingles(text_col: str | Column, n: int = 3) -> Column:
     toks = F.split(
         F.col(text_col) if isinstance(text_col, str) else text_col, " "
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.array_distinct(grams)
+    # NULL (not empty) index array when the doc has < n tokens:
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults to -1
+    # when start > stop) and slice(toks, 0, n) is a runtime error, so
+    # clamping with greatest() cannot express "no shingles". transform
+    # and array_distinct propagate the NULL; coalesce restores the
+    # empty set callers expect.
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.coalesce(F.array_distinct(grams), F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(
@@ -110,12 +114,33 @@ def ngram_jaccard_pairs(
       slower — nested higher-order lambdas evaluate interpreted, while
       chained explodes pipeline inside whole-stage codegen.
     """
+    toks = F.split(
+        F.col(text_col) if isinstance(text_col, str) else text_col, " "
+    )
     sh = docs.select(
         F.col(id_col).alias("doc"),
         # hash each shingle to a long BEFORE the explode+groupBy: the
-        # grouping key is 8 bytes on the wire, not the n-gram string
+        # grouping key is 8 bytes on the wire, not the n-gram string.
+        # xxhash64 hashes the sliced token ARRAY structurally, so the
+        # n-gram string is never materialized at all (vs the previous
+        # array_join -> xxhash64(string) form: one fewer allocation per
+        # shingle, and array_distinct dedups 8-byte longs, not strings);
+        # token boundaries stay significant because the hash mixes
+        # per-element, so this keys the same shingles as hashing the
+        # joined string. Docs with < n tokens get a NULL index array
+        # (see ngram_shingles for why greatest() can't express this);
+        # explode(NULL) emits no rows, which matches the oracle — a
+        # short doc has zero shingles and therefore zero pairs.
         F.explode(
-            F.transform(ngram_shingles(text_col, n), lambda s: F.xxhash64(s))
+            F.array_distinct(
+                F.transform(
+                    F.when(
+                        F.size(toks) >= n,
+                        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    ),
+                    lambda i: F.xxhash64(F.slice(toks, i, n)),
+                )
+            )
         ).alias("sh"),
     )
     by_sh = sh.groupBy("sh").agg(F.array_sort(F.collect_list("doc")).alias("ds"))

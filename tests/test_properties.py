@@ -118,6 +118,46 @@ def test_minhash_estimates_jaccard(spark):
     assert len(missed) <= max(1, len(exact) // 5), f"LSH recall too low: {missed}"
 
 
+def test_ngram_short_docs_no_crash(spark):
+    """Docs with fewer than n tokens must yield ZERO shingles, not a
+    runtime error: sequence(1, 0) is DESCENDING [1, 0] in Spark (default
+    step -1 when start > stop), so the old greatest()-clamped index
+    array fed slice(toks, 0, n) — an invalid index — for any short doc.
+    Web-scale corpora always contain sub-n-token pages."""
+    from pyspark.sql import functions as F
+
+    from relation_extraction_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "exactly three tokens"),
+         (4, "exactly three tokens"), (5, "two words")],
+        "doc_id long, text string",
+    )
+    # ngram_shingles: empty ARRAY (not NULL) below n, 1 shingle at n
+    got = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", ngram_shingles("text", 3).alias("sh")
+        ).collect()
+    }
+    assert got[0] == [] and got[1] == [] and got[2] == []
+    assert got[3] == ["exactly three tokens"]
+    # the pair path: short docs contribute nothing; the >=n twins match
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9, n=3).collect()
+    }
+    assert pairs == {(3, 4)}
+    # null text must also survive (split(NULL) -> NULL tokens)
+    nulldocs = spark.createDataFrame(
+        [(9, None)], "doc_id long, text string"
+    )
+    assert nulldocs.select(ngram_shingles("text", 3)).count() == 1
+
+
 def test_simhash_banded_equals_brute_force(spark):
     """Pigeonhole banding completeness: for ANY max_hamming, the banded
     candidate path must find EXACTLY the pairs brute force finds (the
