@@ -1322,6 +1322,57 @@ def q_stream_late_data(spark, sf):
     )
 
 
+@q(
+    "stream_stateful_sessionize",
+    # T7 oracle — a CUSTOM applyInPandasWithState sessionizer is hash-
+    # checkable because its NoTimeout contract is deterministic and
+    # micro-batch-split-invariant: it emits exactly "every session
+    # except each key's LAST one" (only a LATER event proves a session
+    # closed; the last session per key stays open in state forever).
+    # Islands sessionization minus the per-key max-sid row:
+    "WITH flagged AS (SELECT user_id, ts, value, CASE WHEN epoch(ts) - "
+    "epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800 "
+    "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "THEN 1 ELSE 0 END AS new_s FROM events), "
+    "sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged), "
+    "s AS (SELECT user_id, sid, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS "
+    "s_start, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end, "
+    "count(*) AS n, round(sum(value), 2) AS sum_value "
+    "FROM sess GROUP BY user_id, sid) "
+    "SELECT user_id, s_start, s_end, n, sum_value FROM "
+    "(SELECT s.*, max(sid) OVER (PARTITION BY user_id) AS mx FROM s) "
+    "WHERE sid < mx",
+)
+def q_stream_stateful_sessionize(spark, sf):
+    # Unlike the other stream_* rows (batch twins of native primitives),
+    # this one RUNS THE ACTUAL STREAM: readStream over the fixture,
+    # custom keyed state across micro-batches, availableNow drain into a
+    # memory sink — a full structured-streaming round trip under the
+    # DuckDB hash gate.
+    from ..streaming.jobs import EVENTS_SCHEMA, run_available_now_memory
+    from ..streaming.stateful import sessionize_stateful
+
+    # FileStreamSource wants a DIRECTORY; the fixture table is one file,
+    # so stream the sf dir filtered down to it
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    out = sessionize_stateful(ev, gap_minutes=30, timeout=False)
+    res = run_available_now_memory(
+        out, "stream_stateful_sessionize_sink", output_mode="update"
+    )
+    return res.select(
+        "user_id",
+        F.date_format("s_start", TS_FMT_SPARK).alias("s_start"),
+        F.date_format("s_end", TS_FMT_SPARK).alias("s_end"),
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 # ------------------------------------------------- multimodal binary columns
 # No media fixture table exists, so these run over the deterministic
 # synthetic containers (operators/multimodal.py) — rows-only checks; the
@@ -1667,12 +1718,12 @@ def q_tpch_q18(spark, sf):
 # window, 29 queries are always outside — so the window ROTATES
 # (round-3 judge item 3): 22 permanently-critical rows stay pinned (the
 # KG pipeline stages, TPC-H star shapes, streaming twins, the dedup/ANN
-# heads — the engine's headline surface), and the remaining 57 queries
-# are split into two halves (29/28) that alternate rounds; the window is
-# pinned + active_half[:28], so the active half's TAIL entry is the one
-# overflow slot per round (kept on a rows-only query whose driver row
-# adds the least signal). Every rotated-out query stays under the local
-# DuckDB-parity gate (tests/test_parity.py) regardless of position.
+# heads — the engine's headline surface), and the remaining 58 queries
+# are split into two halves (30/28) that alternate rounds; the window is
+# pinned + active_half[:28], so the active half's TAIL entries are the
+# overflow slots for its round (kept on rows-only queries whose driver
+# rows add the least signal). Every rotated-out query stays under the
+# local DuckDB-parity gate (tests/test_parity.py) regardless of position.
 _PINNED = [
     # headline KG surface (rows-only by design: pattern compiler)
     "kg_extract_triples",
@@ -1706,14 +1757,14 @@ _PINNED = [
 # 28 queries that sat outside the round-3 window (all r01+r02
 # driver-green). Flip _ACTIVE_HALF each round.
 _GENERIC_HALF_A = [
-    # round-4 addition, front of the half so it draws a driver row the
-    # first round A is active (it carries a full value oracle)
+    # round-4 additions, front of the half so they draw a driver row the
+    # first round A is active (both carry full value oracles)
     "multimodal_png_cross_format_dup",
+    "stream_stateful_sessionize",
     "text_lang_id",
     "text_quality_score",
     "text_token_counts",
     "text_fingerprint",
-    "multimodal_image_meta",
     "multimodal_image_meta_arrow",
     "multimodal_near_dup_phash",
     "agg_approx_distinct",
@@ -1736,10 +1787,13 @@ _GENERIC_HALF_A = [
     "fn_vector_cosine",
     "fn_string_normalize",
     "fn_json",
-    # tail = the overflow slot: with 79 registry queries one generic row
-    # must sit outside every 50-row window; this one is rows-only by
-    # design (partition order is not SQL-visible), so its driver row
-    # carries the least marginal signal — pytest pins its semantics
+    # tail = the overflow slots: with 80 registry queries two generic
+    # rows must sit outside every 50-row window when this half is
+    # active; both are rows-only by design (partition order isn't
+    # SQL-visible; the plain image_meta's ARROW twin covers the same
+    # decode math in-window), so their driver rows carry the least
+    # marginal signal — pytest pins their semantics
+    "multimodal_image_meta",
     "sort_within_partitions",
 ]
 _GENERIC_HALF_B = [
