@@ -212,11 +212,11 @@ def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 def minhash_aggs(h_col: str, k: int, seed: int = 42) -> list[Column]:
     """k min-hash aggregate expressions over a 32-bit hash column —
     pure long arithmetic, map-side partial min, shared by document
-    dedup and surface-form canonicalization."""
+    dedup and surface-form canonicalization. Each aggregate is ONE
+    parsed SQL string: k Column-built expressions cost ~6 Python->JVM
+    round trips apiece in plan construction (see simhash_signature)."""
     return [
-        F.min(
-            F.pmod(F.lit(a) * F.col(h_col) + F.lit(b), F.lit(_MERSENNE31))
-        ).alias(f"mh_{i}")
+        F.expr(f"min(pmod({a}L * {h_col} + {b}L, {_MERSENNE31}L)) AS mh_{i}")
         for i, (a, b) in enumerate(_perm_params(k, seed))
     ]
 
@@ -329,25 +329,29 @@ def simhash_signature(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """doc -> 64-bit SimHash (long) via per-bit conditional sums."""
+    """doc -> 64-bit SimHash (long) via per-bit conditional sums.
+
+    The 64 bit-count aggregates and the 64-term signature rebuild are
+    each parsed from ONE SQL string (``F.expr``): building them from
+    nested Column operations cost ~700 Python->JVM round trips, ~1.1 s
+    of pure driver-side chatter per plan construction — a fixed cost,
+    but the dominant term at bench scale and dead weight at any scale.
+    The parsed expressions are identical (same shiftright/IF semantics;
+    ``shiftleft(1L, 63)`` IS two's-complement min-long, covering the
+    top-bit weight the old chained form special-cased)."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b_{i}")
+        F.expr(f"sum(IF((shiftright(h, {i}) & 1) = 1, 1, -1)) AS b_{i}")
         for i in range(bits)
     ]
     agg = toks.groupBy("doc").agg(*bit_aggs)
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        weight = (1 << i) if i < 63 else -(1 << 63)  # two's-complement top bit
-        sig = sig + F.when(
-            F.col(f"b_{i}") > 0, F.lit(weight).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select("doc", sig.alias("simhash"))
+    sig = " + ".join(
+        f"IF(b_{i} > 0, shiftleft(1L, {i}), 0L)" for i in range(bits)
+    )
+    return agg.select("doc", F.expr(f"{sig} AS simhash"))
 
 
 def _simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
