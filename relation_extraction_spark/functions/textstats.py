@@ -77,6 +77,31 @@ def quality_score_expr(text_col: str | Column) -> Column:
     return F.round(len_ok + wl_ok + sw_ok, 4)
 
 
+def ttr_expr(text_col: str | Column) -> Column:
+    """Type-token ratio (distinct tokens / tokens) — the cheap
+    lexical-diversity signal; heavily repeated boilerplate scores low."""
+    toks = _tokens(text_col)
+    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+
+
+def bigram_array_expr(text_col: str | Column) -> Column:
+    """Adjacent word bigrams as array<string> (lowercased). Feeds the
+    Gopher-style top-n-gram coverage signal: the COUNTING is done
+    relationally (explode -> groupBy) by the caller, because a per-row
+    most-frequent-gram HOF would be O(grams²) per document — fine on a
+    fixture, wrong at 100 TB."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    # sequence(1, 0) would count DOWN; guard sub-2-token docs explicitly
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint_expr(text_col: str | Column) -> Column:
     """Whole-document content fingerprint: md5 of normalized text
     (cross-engine stable)."""

@@ -1095,6 +1095,54 @@ def q_fingerprint(spark, sf):
     )
 
 
+@q(
+    "text_repetition",
+    # Gopher-style repetition signals: type-token ratio + fraction of
+    # bigram occurrences held by the single most frequent bigram.
+    "WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t "
+    "FROM documents), "
+    "bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g "
+    "FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)), "
+    "cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2), "
+    "rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS "
+    "top_bigram_frac FROM cnt GROUP BY doc_id) "
+    "SELECT toks.doc_id, "
+    "round(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 4) AS ttr, "
+    "coalesce(rep.top_bigram_frac, 0.0) AS top_bigram_frac "
+    "FROM toks LEFT JOIN rep ON toks.doc_id = rep.doc_id",
+)
+def q_text_repetition(spark, sf):
+    # the bigram COUNT is relational (explode -> two hash aggs with
+    # map-side combine), not a per-row most-frequent-gram HOF: at 100 TB
+    # the former is one shuffle on (doc_id, gram), the latter O(grams²)
+    # per document (see functions/textstats.py::bigram_array_expr)
+    from ..functions.textstats import bigram_array_expr, ttr_expr
+
+    docs = T(spark, sf, "documents")
+    rep = (
+        docs.select(
+            "doc_id", F.explode(bigram_array_expr("text")).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac")
+        )
+    )
+    return (
+        docs.select("doc_id", F.round(ttr_expr("text"), 4).alias("ttr"))
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ttr",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------ KG extraction stages
 # (non-SQL-expressible: pattern extraction is the pandas-UDF compiler;
 # driver records rows-only checks — SURVEY.md §2 note)
@@ -1718,8 +1766,8 @@ def q_tpch_q18(spark, sf):
 # window, 29 queries are always outside — so the window ROTATES
 # (round-3 judge item 3): 22 permanently-critical rows stay pinned (the
 # KG pipeline stages, TPC-H star shapes, streaming twins, the dedup/ANN
-# heads — the engine's headline surface), and the remaining 58 queries
-# are split into two halves (30/28) that alternate rounds; the window is
+# heads — the engine's headline surface), and the remaining 59 queries
+# are split into two halves (31/28) that alternate rounds; the window is
 # pinned + active_half[:28], so the active half's TAIL entries are the
 # overflow slots for its round (kept on rows-only queries whose driver
 # rows add the least signal). Every rotated-out query stays under the
@@ -1761,6 +1809,7 @@ _GENERIC_HALF_A = [
     # first round A is active (both carry full value oracles)
     "multimodal_png_cross_format_dup",
     "stream_stateful_sessionize",
+    "text_repetition",
     "text_lang_id",
     "text_quality_score",
     "text_token_counts",
@@ -1786,13 +1835,14 @@ _GENERIC_HALF_A = [
     "topk_orders",
     "fn_vector_cosine",
     "fn_string_normalize",
+    # tail = the overflow slots: with 81 registry queries three generic
+    # rows sit outside the 50-row window when this half is active. Two
+    # are rows-only by design (partition order isn't SQL-visible; the
+    # plain image_meta's ARROW twin covers the same decode math
+    # in-window); fn_json is oracle-backed but carried a FULL driver
+    # hash pass in round 3 and stays under the local DuckDB-parity gate,
+    # so its row is the least marginal of the oracle-backed half
     "fn_json",
-    # tail = the overflow slots: with 80 registry queries two generic
-    # rows must sit outside every 50-row window when this half is
-    # active; both are rows-only by design (partition order isn't
-    # SQL-visible; the plain image_meta's ARROW twin covers the same
-    # decode math in-window), so their driver rows carry the least
-    # marginal signal — pytest pins their semantics
     "multimodal_image_meta",
     "sort_within_partitions",
 ]
