@@ -1,0 +1,110 @@
+"""Training-mixture ops (round 4): near-dup clustering, sequence
+packing, deterministic stratified sampling.
+
+Cross-engine value parity is pinned by test_parity (the three queries
+are oracle-backed); these tests pin the SEMANTIC properties the oracle
+hash can't express — transitive closure correctness, partitioning
+invariance, offset contiguity, sample determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from relation_extraction_spark.plans.queries import QUERIES
+
+
+def _run(name, spark, sf_dir):
+    return QUERIES[name][0](spark, sf_dir).toPandas()
+
+
+class TestDedupClusterCC:
+    def test_cluster_id_is_component_minimum(self, spark, sf_dir):
+        df = _run("dedup_cluster_cc", spark, sf_dir)
+        # representative = min doc_id of the cluster, so it never
+        # exceeds the member id, and the representative row maps to
+        # itself
+        assert (df.cluster_id <= df.doc_id).all()
+        reps = set(df.cluster_id)
+        self_mapped = df[df.doc_id.isin(reps)]
+        assert (self_mapped.cluster_id == self_mapped.doc_id).all()
+
+    def test_every_pair_lands_in_one_cluster(self, spark, sf_dir):
+        from relation_extraction_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("lang") == "en")
+        )
+        pairs = ngram_jaccard_pairs(
+            docs, threshold=0.3, n=2, max_shingle_freq=1000
+        ).toPandas()
+        clusters = _run("dedup_cluster_cc", spark, sf_dir)
+        label = dict(zip(clusters.doc_id, clusters.cluster_id))
+        for a, b in zip(pairs.id_a, pairs.id_b):
+            assert label[a] == label[b], (a, b)
+
+    def test_covers_every_doc_exactly_once(self, spark, sf_dir):
+        df = _run("dedup_cluster_cc", spark, sf_dir)
+        n_docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("lang") == "en")
+            .count()
+        )
+        assert len(df) == n_docs == df.doc_id.nunique()
+
+
+class TestPackSequences:
+    def test_offsets_are_stratum_prefix_sums(self, spark, sf_dir):
+        df = _run("pack_sequences", spark, sf_dir)
+        for _lang, g in df.groupby("lang"):
+            g = g.sort_values("doc_id")
+            run = 0
+            for off, n_tok, seq_no, seq_off in zip(
+                g.seq_no * 512 + g.seq_off, g.n_tok, g.seq_no, g.seq_off
+            ):
+                assert off == run
+                assert 0 <= seq_off < 512
+                assert seq_no == run // 512
+                run += n_tok
+
+    def test_partitioning_invariance(self, spark, sf_dir):
+        # the window orders by (lang, doc_id) — a total order — so the
+        # packing cannot depend on input split layout
+        base = _run("pack_sequences", spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from relation_extraction_spark.plans import queries as Q
+
+        orig = Q.T
+        try:
+            Q.T = lambda s, sf, name: (
+                docs.repartition(7) if name == "documents" else orig(s, sf, name)
+            )
+            shuffled = _run("pack_sequences", spark, sf_dir)
+        finally:
+            Q.T = orig
+        key = ["doc_id"]
+        a = base.sort_values(key).reset_index(drop=True)
+        b = shuffled.sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+
+
+class TestSampleStratified:
+    def test_deterministic_membership(self, spark, sf_dir):
+        a = _run("sample_stratified", spark, sf_dir)
+        b = _run("sample_stratified", spark, sf_dir)
+        assert sorted(a.doc_id) == sorted(b.doc_id)
+
+    def test_is_a_subset_with_stratum_rates(self, spark, sf_dir):
+        df = _run("sample_stratified", spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+        assert set(df.doc_id) <= set(docs.doc_id)
+        # en threshold '4' = 25% of hex space, others '8' = 50%; at
+        # fixture size just pin the ORDERING of realized rates, not
+        # tight bounds
+        merged = docs.merge(df[["doc_id"]].assign(kept=True), how="left")
+        merged["kept"] = merged.kept.eq(True)
+        rate = merged.groupby(merged.lang == "en").kept.mean()
+        assert 0 < rate[True] < rate[False] < 1
