@@ -102,6 +102,44 @@ def bigram_array_expr(text_col: str | Column) -> Column:
     return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
 
 
+def quality_filter_exprs(
+    text_col: str | Column, lang_col: str | Column = "lang"
+) -> tuple[Column, Column]:
+    """Gopher-style document FILTER: (keep boolean, reasons string).
+
+    Each rule yields a label when violated; ``reasons`` is the sorted
+    '|'-join of labels (empty = clean), ``keep`` is reasons == ''.
+    Thresholds are integer-arithmetic comparisons identical in any
+    IEEE engine, so the verdict is oracle-stable without rounding:
+
+    - too_short / too_long — whitespace token count outside [30, 10000]
+    - word_len             — mean word length outside [3, 12]
+    - low_stopword         — EN stopword ratio < 0.04 (en docs only;
+                             the signal is language-specific)
+    - high_repetition      — type-token ratio < 0.3 (boilerplate)
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lang = F.col(lang_col) if isinstance(lang_col, str) else lang_col
+    n_toks = token_count_expr(c)
+    mean_wl = F.length(c) / F.greatest(n_toks, F.lit(1))
+    sw = stopword_ratio_expr(c, EN_STOPWORDS)
+    ttr = ttr_expr(c)
+    rules = [
+        F.when(n_toks < 30, "too_short"),
+        F.when(n_toks > 10000, "too_long"),
+        F.when((mean_wl < 3.0) | (mean_wl > 12.0), "word_len"),
+        F.when((lang == "en") & (sw < 0.04), "low_stopword"),
+        F.when(ttr < 0.3, "high_repetition"),
+    ]
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(F.array(*rules), lambda r: r.isNotNull())
+        ),
+        "|",
+    )
+    return reasons == "", reasons
+
+
 def fingerprint_expr(text_col: str | Column) -> Column:
     """Whole-document content fingerprint: md5 of normalized text
     (cross-engine stable)."""

@@ -91,6 +91,90 @@ class TestPackSequences:
         assert a.equals(b)
 
 
+class TestPackScalable:
+    def test_single_giant_stratum_matches_window_form(self, spark, sf_dir):
+        # the case the two-pass form exists for: ONE stratum holding
+        # every row still packs identically, but across partitions
+        from relation_extraction_spark.operators.packing import (
+            pack_offsets_scalable,
+            pack_offsets_window,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(
+                "doc_id",
+                F.lit("all").alias("lang"),
+                F.size(F.split("text", " ")).alias("n_tok"),
+            )
+        )
+        a = (
+            pack_offsets_window(docs, budget=512)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            pack_offsets_scalable(docs, budget=512, num_partitions=8)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+        # and the scalable plan's running-sum window really is keyed by
+        # partition id — no reducer sorts the whole stratum
+        plan = (
+            pack_offsets_scalable(docs, budget=512, num_partitions=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "_pid" in plan
+
+    def test_zero_and_boundary_token_offsets(self, spark):
+        # budget-edge docs: offsets 0, exactly budget, straddling
+        from relation_extraction_spark.operators.packing import (
+            pack_offsets_scalable,
+        )
+
+        rows = [(i, "x", n) for i, n in enumerate([512, 1, 511, 600, 5])]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, n_tok long"
+        )
+        out = {
+            r.doc_id: (r.seq_no, r.seq_off)
+            for r in pack_offsets_scalable(
+                docs, budget=512, num_partitions=4
+            ).collect()
+        }
+        assert out == {
+            0: (0, 0),      # starts sequence 0
+            1: (1, 0),      # offset 512 -> exactly the next sequence
+            2: (1, 1),
+            3: (2, 0),      # offset 1024
+            4: (3, 88),     # offset 1624
+        }
+
+
+class TestQualityFilter:
+    def test_reasons_consistent_with_keep(self, spark, sf_dir):
+        df = _run("text_quality_filter", spark, sf_dir)
+        assert ((df.reasons == "") == df.keep).all()
+        # every emitted label is from the closed rule set, sorted
+        labels = {
+            "too_short", "too_long", "word_len",
+            "low_stopword", "high_repetition",
+        }
+        for r in df.reasons[df.reasons != ""]:
+            parts = r.split("|")
+            assert parts == sorted(parts)
+            assert set(parts) <= labels
+
+    def test_filter_is_selective_not_degenerate(self, spark, sf_dir):
+        df = _run("text_quality_filter", spark, sf_dir)
+        assert 0 < df.keep.mean() < 1
+
+
 class TestSampleStratified:
     def test_deterministic_membership(self, spark, sf_dir):
         a = _run("sample_stratified", spark, sf_dir)
