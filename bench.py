@@ -76,7 +76,9 @@ def _run() -> dict:
         "kg_link_mentions",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "dedup_cluster_cc",
         "dedup_simhash",
+        "pack_sequences_scalable",
         "ann_topk_bruteforce",
         "join_sort_merge",
         "join_broadcast",

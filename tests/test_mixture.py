@@ -175,6 +175,43 @@ class TestQualityFilter:
         assert 0 < df.keep.mean() < 1
 
 
+class TestDecontaminate:
+    def test_planted_contamination_recovered(self, spark):
+        from relation_extraction_spark.operators.dedup import (
+            contamination_overlap,
+        )
+
+        ev = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # contains eval 4-grams "beta gamma delta epsilon" and
+                # "gamma delta epsilon zeta" -> n_shared = 2
+                (10, "xx beta gamma delta epsilon zeta yy"),
+                (11, "completely unrelated words here now"),
+                (12, "too short"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.n_shared
+            for r in contamination_overlap(corpus, ev, n=4).collect()
+        }
+        # shared 4-grams: "beta gamma delta epsilon",
+        # "gamma delta epsilon zeta" (the xx/yy edges break the rest)
+        assert out == {10: 2}
+
+    def test_eval_side_is_broadcast(self, spark, sf_dir):
+        fn, _ = QUERIES["decontaminate_ngram"]
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
 class TestSampleStratified:
     def test_deterministic_membership(self, spark, sf_dir):
         a = _run("sample_stratified", spark, sf_dir)
