@@ -175,6 +175,56 @@ class TestQualityFilter:
         assert 0 < df.keep.mean() < 1
 
 
+class TestPackEquivalenceProperty:
+    # hypothesis over the PACKING INPUT (id/stratum/token triples), few
+    # examples because every example runs real Spark jobs; the generator
+    # targets the hard cases — duplicate-free ids, ragged strata, zero
+    # and budget-multiple token counts, strata that vanish entirely
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),  # doc_id (deduped below)
+            st.sampled_from(["a", "b", "c"]),         # stratum
+            st.sampled_from([0, 1, 7, 511, 512, 513, 1024]),  # n_tok
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=rows_strategy)
+    def test_scalable_equals_window_form(self, spark, rows):
+        from relation_extraction_spark.operators.packing import (
+            pack_offsets_scalable,
+            pack_offsets_window,
+        )
+
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, n_tok long"
+        )
+        key = ["doc_id"]
+        a = (
+            pack_offsets_window(docs, budget=512)
+            .toPandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        b = (
+            pack_offsets_scalable(docs, budget=512, num_partitions=5)
+            .toPandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        assert a.equals(b), (a, b)
+
+
 class TestDecontaminate:
     def test_planted_contamination_recovered(self, spark):
         from relation_extraction_spark.operators.dedup import (
