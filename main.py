@@ -25,6 +25,14 @@ from relation_extraction_spark.session import get_spark
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--job",
+        default="kg",
+        choices=["kg", "mixture"],
+        help="kg = the 6-stage KG pipeline; mixture = the training-"
+        "mixture cleaning pipeline (quality filter -> decontaminate -> "
+        "near-dup cluster -> pack; requires --input-parquet)",
+    )
     ap.add_argument("--stage", default="all", help="all or comma-list of stages")
     ap.add_argument("--out", required=True)
     ap.add_argument("--pages", type=int, default=2000)
@@ -44,10 +52,39 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(
-        app_name="kg-pipeline",
+        app_name=f"{args.job}-pipeline",
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
+    if args.job == "mixture":
+        from relation_extraction_spark.plans.mixture import (
+            MixtureConfig,
+            run_mixture,
+        )
+
+        if not args.input_parquet:
+            ap.error("--job mixture requires --input-parquet")
+        t0 = time.time()
+        counts = run_mixture(
+            spark,
+            MixtureConfig(
+                out=args.out,
+                input_parquet=args.input_parquet,
+                run_id=args.run_id,
+            ),
+        )
+        print(
+            json.dumps(
+                {
+                    "run_id": args.run_id,
+                    "job": "mixture",
+                    "wall_s": round(time.time() - t0, 2),
+                    **counts,
+                }
+            )
+        )
+        spark.stop()
+        return
     cfg = PipelineConfig(
         out=args.out,
         pages=args.pages,

@@ -1,0 +1,130 @@
+"""Training-mixture pipeline — the §2.11 ops composed into ONE job.
+
+    quality filter → decontaminate → near-dup cluster (keep one per
+    cluster) → sequence packing → snapshot commit + audit metrics
+
+Every stage is an oracle-checked operator from the registry
+(plans/queries.py); this module only composes them, so correctness is
+inherited. The output is what a pretraining data loader consumes: a
+``mixture_docs`` snapshot table of surviving documents with their
+packed (seq_no, seq_off) positions, plus a ``metrics`` table recording
+how many documents each stage dropped and why (per-rule rejection
+counts) — the auditability a 100-TB cleaning run needs before anyone
+commits to a drop.
+
+Scale shape: the filter and sampling stages are narrow (no shuffle);
+decontamination broadcasts the (tiny) eval shingle set; clustering
+shuffles on shingle blocking keys only; packing is the two-pass
+distributed prefix sum (operators/packing.py — no whole-stratum
+reducer). One lakehouse commit at the end, not per stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textstats import quality_filter_exprs
+from ..operators.connected_components import connected_components
+from ..operators.dedup import contamination_overlap, ngram_jaccard_pairs
+from ..operators.packing import pack_offsets_scalable
+from ..sources.lakehouse import SnapshotTable
+from .pipeline import METRICS_SCHEMA
+
+
+@dataclass
+class MixtureConfig:
+    out: str
+    input_parquet: str
+    eval_max_doc_id: int = 10        # docs below this id form the eval set
+    decontam_ngram: int = 4
+    dup_threshold: float = 0.3
+    dup_ngram: int = 2
+    pack_budget: int = 512
+    run_id: str = "mixture"
+
+
+def run_mixture(spark: SparkSession, cfg: MixtureConfig) -> dict:
+    """Run the cleaning pipeline; returns the audit counts dict."""
+    docs = spark.read.parquet(cfg.input_parquet)
+    n_input = docs.count()
+
+    # 1. quality filter — keep verdict + per-rule rejection counts.
+    #    ONE pass computes both: the reasons column aggregates to the
+    #    audit histogram, the keep flag gates the survivors.
+    keep, reasons = quality_filter_exprs("text", "lang")
+    flagged = docs.select(
+        "*", keep.alias("_keep"), reasons.alias("_reasons")
+    ).localCheckpoint(eager=False)
+    reason_counts = {
+        r["_reasons"]: r["n"]
+        for r in flagged.filter(~F.col("_keep"))
+        .groupBy("_reasons")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    clean = flagged.filter(F.col("_keep")).drop("_keep", "_reasons")
+
+    # 2. decontamination — eval set = lowest ids (stand-in for a real
+    #    benchmark table); contaminated TRAINING docs are dropped, the
+    #    eval docs themselves never enter the mixture.
+    train = clean.filter(F.col("doc_id") >= cfg.eval_max_doc_id)
+    eval_docs = docs.filter(F.col("doc_id") < cfg.eval_max_doc_id)
+    contaminated = contamination_overlap(
+        train, eval_docs, n=cfg.decontam_ngram
+    ).select("doc_id")
+    decon = train.join(contaminated, "doc_id", "left_anti")
+
+    # 3. near-dup clustering — pairs on shingle blocking keys, closed
+    #    under transitivity, keep the component-minimum representative
+    #    (similarity is not transitive: pair-wise dropping under-removes)
+    pairs = ngram_jaccard_pairs(
+        decon, threshold=cfg.dup_threshold, n=cfg.dup_ngram
+    )
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    unique = decon.join(drop, "doc_id", "left_anti")
+
+    # 4. sequence packing over survivors (two-pass scalable form)
+    packed = pack_offsets_scalable(
+        unique.select(
+            "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+        ),
+        budget=cfg.pack_budget,
+    )
+
+    # 5. one commit: the mixture table + the audit metrics
+    out_tbl = SnapshotTable(cfg.out, "mixture_docs")
+    manifest = out_tbl.append(packed, stage="mixture")
+    n_out = manifest["n_rows"]
+    counts = {
+        "n_input": n_input,
+        "n_quality_dropped": sum(reason_counts.values()),
+        "n_eval_held_out": n_input
+        - sum(reason_counts.values())
+        - train.count(),
+        "n_contaminated": contaminated.count(),
+        "n_near_dup_dropped": drop.count(),
+        "n_output": n_out,
+        **{f"quality_drop[{k}]": v for k, v in sorted(reason_counts.items())},
+    }
+    SnapshotTable(cfg.out, "metrics").append_rows(
+        [
+            {
+                "metric": k,
+                "value": float(v),
+                "stage": "mixture",
+                "run_id": cfg.run_id,
+            }
+            for k, v in counts.items()
+        ],
+        METRICS_SCHEMA,
+        stage="mixture",
+    )
+    return counts

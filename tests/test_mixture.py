@@ -18,6 +18,66 @@ def _run(name, spark, sf_dir):
     return QUERIES[name][0](spark, sf_dir).toPandas()
 
 
+class TestMixturePipeline:
+    """End-to-end composition (plans/mixture.py): every stage is an
+    oracle-checked operator, so these tests pin the COMPOSITION —
+    conservation of documents across stages, snapshot output, audit
+    metrics — not per-op semantics."""
+
+    @staticmethod
+    def _run(spark, sf_dir, tmp_path):
+        from relation_extraction_spark.plans.mixture import (
+            MixtureConfig,
+            run_mixture,
+        )
+
+        out = str(tmp_path / "mix")
+        counts = run_mixture(
+            spark,
+            MixtureConfig(
+                out=out,
+                input_parquet=f"{sf_dir}/documents.parquet",
+                run_id="t",
+            ),
+        )
+        return out, counts
+
+    def test_document_conservation_and_audit(self, spark, sf_dir, tmp_path):
+        out, c = self._run(spark, sf_dir, tmp_path)
+        # input = survivors + every attributed drop
+        assert c["n_input"] == (
+            c["n_output"]
+            + c["n_quality_dropped"]
+            + c["n_eval_held_out"]
+            + c["n_contaminated"]
+            + c["n_near_dup_dropped"]
+        )
+        assert c["n_output"] > 0
+        # per-rule histogram sums to the total quality drop
+        rule_sum = sum(v for k, v in c.items() if k.startswith("quality_drop["))
+        assert rule_sum == c["n_quality_dropped"]
+
+    def test_output_is_packed_snapshot(self, spark, sf_dir, tmp_path):
+        from relation_extraction_spark.sources.lakehouse import SnapshotTable
+
+        out, c = self._run(spark, sf_dir, tmp_path)
+        df = SnapshotTable(out, "mixture_docs").read(spark).toPandas()
+        assert len(df) == c["n_output"] == df.doc_id.nunique()
+        assert set(df.columns) == {"doc_id", "lang", "n_tok", "seq_no", "seq_off"}
+        assert (df.seq_off < 512).all() and (df.seq_off >= 0).all()
+        # metrics table carries the same audit rows
+        m = SnapshotTable(out, "metrics").read(spark).toPandas()
+        got = dict(zip(m.metric, m.value))
+        assert got["n_output"] == c["n_output"]
+
+    def test_eval_docs_never_in_output(self, spark, sf_dir, tmp_path):
+        from relation_extraction_spark.sources.lakehouse import SnapshotTable
+
+        out, _ = self._run(spark, sf_dir, tmp_path)
+        df = SnapshotTable(out, "mixture_docs").read(spark).toPandas()
+        assert (df.doc_id >= 10).all()
+
+
 class TestDedupClusterCC:
     def test_cluster_id_is_component_minimum(self, spark, sf_dir):
         df = _run("dedup_cluster_cc", spark, sf_dir)
