@@ -31,7 +31,8 @@ def main() -> None:
         choices=["kg", "mixture"],
         help="kg = the 6-stage KG pipeline; mixture = the training-"
         "mixture cleaning pipeline (quality filter -> decontaminate -> "
-        "near-dup cluster -> pack; requires --input-parquet)",
+        "exact dedup -> near-dup cluster -> pack; requires "
+        "--input-parquet)",
     )
     ap.add_argument("--stage", default="all", help="all or comma-list of stages")
     ap.add_argument("--out", required=True)

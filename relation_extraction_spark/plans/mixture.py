@@ -1,7 +1,8 @@
 """Training-mixture pipeline — the §2.11 ops composed into ONE job.
 
-    quality filter → decontaminate → near-dup cluster (keep one per
-    cluster) → sequence packing → snapshot commit + audit metrics
+    quality filter → decontaminate → exact dedup → near-dup cluster
+    (keep one per cluster) → sequence packing → snapshot commit +
+    audit metrics
 
 Every stage is an oracle-checked operator from the registry
 (plans/queries.py); this module only composes them, so correctness is
@@ -28,7 +29,11 @@ from pyspark.sql import functions as F
 
 from ..functions.textstats import quality_filter_exprs
 from ..operators.connected_components import connected_components
-from ..operators.dedup import contamination_overlap, ngram_jaccard_pairs
+from ..operators.dedup import (
+    contamination_overlap,
+    ngram_jaccard_pairs,
+    normalize_text_expr,
+)
 from ..operators.packing import pack_offsets_scalable
 from ..sources.lakehouse import SnapshotTable
 from .pipeline import METRICS_SCHEMA
@@ -77,11 +82,28 @@ def run_mixture(spark: SparkSession, cfg: MixtureConfig) -> dict:
     ).select("doc_id")
     decon = train.join(contaminated, "doc_id", "left_anti")
 
-    # 3. near-dup clustering — pairs on shingle blocking keys, closed
-    #    under transitivity, keep the component-minimum representative
-    #    (similarity is not transitive: pair-wise dropping under-removes)
+    # 3a. EXACT dedup first — one hash groupBy on normalized text keeps
+    #     the min-id copy. Exact copies dominate real crawl dup mass
+    #     (mirrors, recrawls); removing them here costs one narrow
+    #     shuffle and shrinks the expensive shingle pass's input, so
+    #     the near-dup stage only pays for genuinely fuzzy matches.
+    keep_ids = (
+        decon.select("doc_id", normalize_text_expr("text").alias("_norm"))
+        .groupBy("_norm")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_kept = decon.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
+    n_decon = decon.count()
+    n_exact_kept = exact_kept.count()
+
+    # 3b. near-dup clustering — pairs on shingle blocking keys, closed
+    #     under transitivity, keep the component-minimum representative
+    #     (similarity is not transitive: pair-wise dropping under-removes)
     pairs = ngram_jaccard_pairs(
-        decon, threshold=cfg.dup_threshold, n=cfg.dup_ngram
+        exact_kept, threshold=cfg.dup_threshold, n=cfg.dup_ngram
     )
     cc = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -89,7 +111,7 @@ def run_mixture(spark: SparkSession, cfg: MixtureConfig) -> dict:
     drop = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    unique = decon.join(drop, "doc_id", "left_anti")
+    unique = exact_kept.join(drop, "doc_id", "left_anti")
 
     # 4. sequence packing over survivors (two-pass scalable form)
     packed = pack_offsets_scalable(
@@ -103,14 +125,14 @@ def run_mixture(spark: SparkSession, cfg: MixtureConfig) -> dict:
     out_tbl = SnapshotTable(cfg.out, "mixture_docs")
     manifest = out_tbl.append(packed, stage="mixture")
     n_out = manifest["n_rows"]
+    n_train = train.count()
     counts = {
         "n_input": n_input,
         "n_quality_dropped": sum(reason_counts.values()),
-        "n_eval_held_out": n_input
-        - sum(reason_counts.values())
-        - train.count(),
-        "n_contaminated": contaminated.count(),
-        "n_near_dup_dropped": drop.count(),
+        "n_eval_held_out": n_input - sum(reason_counts.values()) - n_train,
+        "n_contaminated": n_train - n_decon,
+        "n_exact_dup_dropped": n_decon - n_exact_kept,
+        "n_near_dup_dropped": n_exact_kept - n_out,
         "n_output": n_out,
         **{f"quality_drop[{k}]": v for k, v in sorted(reason_counts.items())},
     }

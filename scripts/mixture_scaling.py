@@ -1,0 +1,155 @@
+"""Mixture-pipeline scaling probe — SUPPLEMENTARY evidence (the gated
+north-rule record is the KG pipeline: scripts/scaling_bench.py). This
+measures the training-mixture cleaning job (main.py --job mixture:
+quality filter -> decontaminate -> near-dup cluster -> pack -> commit)
+at two core counts on a replicated documents corpus, interleaved legs,
+min-over-repeats — the same anti-noise protocol as the other probes.
+
+Input: the read-only sf0.1 documents fixture replicated K times with
+shifted doc_ids (deterministic, no RNG). Replication makes the
+near-dup structure DENSE — every document gains K-1 exact copies, so
+the clustering stage does real transitive-closure work instead of the
+fixture's sparse pairs, and decontamination flags every replica of the
+eval docs. This is the op family's stress shape, not a synthetic
+best case.
+
+Usage: python scripts/mixture_scaling.py [--replicas 20] [--small 2]
+       [--large 8] [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_ROOT = os.environ.get("KG_BENCH_ROOT", "/dev/shm/kg_bench")
+SF_DOCS = "/root/testdata/sf0.1/documents.parquet"
+
+WORKLOAD = r"""
+import sys, time, json, shutil
+sys.path.insert(0, {repo!r})
+from relation_extraction_spark.session import get_spark
+from relation_extraction_spark.plans.mixture import MixtureConfig, run_mixture
+
+cores = {cores}
+spark = get_spark(app_name="mixture-scaling", master=f"local[{{cores}}]",
+                  shuffle_partitions=2 * cores,
+                  extra_conf={{"spark.local.dir": {local_dir!r},
+                               "spark.driver.memory": {driver_mem!r}}})
+out = {out!r}
+shutil.rmtree(out, ignore_errors=True)
+t0 = time.time()
+counts = run_mixture(spark, MixtureConfig(out=out, input_parquet={docs!r},
+                                          run_id=f"scale-{{cores}}"))
+wall = time.time() - t0
+print(json.dumps({{"cores": cores, "wall_s": round(wall, 2),
+                   "docs_per_sec": round(counts["n_input"] / wall, 1),
+                   **counts}}))
+shutil.rmtree(out, ignore_errors=True)
+spark.stop()
+"""
+
+
+def gen_replicated_docs(replicas: int, path: str) -> None:
+    """K deterministic copies of the sf0.1 documents, ids shifted by
+    1e6 per replica (replica 0 keeps original ids, so the eval set —
+    doc_id < 10 — stays the fixture's own first docs)."""
+    import duckdb
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    con = duckdb.connect()
+    union = " UNION ALL ".join(
+        f"SELECT doc_id + {i * 1_000_000} AS doc_id, text, lang, source, "
+        f"n_chars FROM src"
+        for i in range(replicas)
+    )
+    con.sql(f"CREATE VIEW src AS SELECT * FROM '{SF_DOCS}'")
+    con.sql(f"COPY ({union}) TO '{path}' (FORMAT PARQUET)")
+    con.close()
+
+
+def run_once(cores: int, docs: str, driver_mem: str) -> dict:
+    code = WORKLOAD.format(
+        repo=REPO,
+        cores=cores,
+        docs=docs,
+        out=os.path.join(BENCH_ROOT, f"mixture_out_{cores}"),
+        local_dir=os.path.join(BENCH_ROOT, f"spark_local_mx_{cores}"),
+        driver_mem=driver_mem,
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-3000:])
+        raise RuntimeError(f"leg cores={cores} failed")
+    return json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=20)
+    ap.add_argument("--small", type=int, default=2)
+    ap.add_argument("--large", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--driver-mem", default="24g")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_mixture_scaling.json"))
+    args = ap.parse_args()
+
+    docs = os.path.join(BENCH_ROOT, f"mixture_docs_x{args.replicas}.parquet")
+    if not os.path.exists(docs):
+        gen_replicated_docs(args.replicas, docs)
+
+    legs = []
+    small = large = None
+    # interleaved legs (see dataplane_scaling.py for why)
+    for rep in range(args.repeats):
+        rec_s = run_once(args.small, docs, args.driver_mem)
+        rec_l = run_once(args.large, docs, args.driver_mem)
+        for r, which in ((rec_s, "small"), (rec_l, "large")):
+            r["leg"], r["repeat"] = which, rep
+            legs.append(r)
+        if small is None or rec_s["wall_s"] < small["wall_s"]:
+            small = rec_s
+        if large is None or rec_l["wall_s"] < large["wall_s"]:
+            large = rec_l
+    # output invariance across core counts: identical audit counts
+    keys = ["n_input", "n_quality_dropped", "n_contaminated",
+            "n_exact_dup_dropped", "n_near_dup_dropped", "n_output"]
+    invariant = all(small[k] == large[k] for k in keys)
+    eff = (large["docs_per_sec"] / small["docs_per_sec"]) / (
+        args.large / args.small
+    )
+    record = {
+        "job": "mixture",
+        "replicas": args.replicas,
+        "small_cores": args.small,
+        "large_cores": args.large,
+        "scaling_efficiency": round(eff, 3),
+        "counts_invariant": invariant,
+        "best_small": small,
+        "best_large": large,
+        "legs": legs,
+        "note": "supplementary record (the gated north-rule metric is "
+                "the KG pipeline, BENCH_scaling.json); replicated-docs "
+                "input makes near-dup clustering dense on purpose",
+    }
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps({k: record[k] for k in
+                      ["scaling_efficiency", "counts_invariant"]} |
+                     {"small_wall": small["wall_s"],
+                      "large_wall": large["wall_s"]}))
+
+
+if __name__ == "__main__":
+    main()

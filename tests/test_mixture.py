@@ -50,6 +50,7 @@ class TestMixturePipeline:
             + c["n_quality_dropped"]
             + c["n_eval_held_out"]
             + c["n_contaminated"]
+            + c["n_exact_dup_dropped"]
             + c["n_near_dup_dropped"]
         )
         assert c["n_output"] > 0
