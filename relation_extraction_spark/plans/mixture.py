@@ -52,35 +52,60 @@ class MixtureConfig:
 
 
 def run_mixture(spark: SparkSession, cfg: MixtureConfig) -> dict:
-    """Run the cleaning pipeline; returns the audit counts dict."""
+    """Run the cleaning pipeline; returns the audit counts dict.
+
+    Audit-count discipline (the probe-measured fixed-cost attack,
+    BASELINE.md "Mixture-pipeline scaling"): every count rides a pass
+    the job makes anyway — ONE two-key histogram covers input size,
+    the per-rule rejection table and the train-side split; the
+    contamination and near-dup numbers come from counting the (tiny)
+    dropped-id frames; the remaining stage sizes are derived by
+    arithmetic. No full-corpus scan exists only to produce a metric.
+    """
     docs = spark.read.parquet(cfg.input_parquet)
-    n_input = docs.count()
 
     # 1. quality filter — keep verdict + per-rule rejection counts.
-    #    ONE pass computes both: the reasons column aggregates to the
-    #    audit histogram, the keep flag gates the survivors.
+    #    ONE aggregation computes the whole audit head: rows per
+    #    (_reasons, is-eval) cell. '' reason = kept; eval split lets
+    #    n_train fall out without a second scan.
     keep, reasons = quality_filter_exprs("text", "lang")
     flagged = docs.select(
         "*", keep.alias("_keep"), reasons.alias("_reasons")
     ).localCheckpoint(eager=False)
-    reason_counts = {
-        r["_reasons"]: r["n"]
-        for r in flagged.filter(~F.col("_keep"))
-        .groupBy("_reasons")
+    hist = {
+        (r["_reasons"], r["_is_eval"]): r["n"]
+        for r in flagged.groupBy(
+            "_reasons",
+            (F.col("doc_id") < cfg.eval_max_doc_id).alias("_is_eval"),
+        )
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    n_input = sum(hist.values())
+    reason_counts: dict[str, int] = {}
+    for (rs, _ev), n in hist.items():
+        if rs != "":
+            reason_counts[rs] = reason_counts.get(rs, 0) + n
+    n_eval_clean = hist.get(("", True), 0)
+    n_train = hist.get(("", False), 0)
     clean = flagged.filter(F.col("_keep")).drop("_keep", "_reasons")
 
     # 2. decontamination — eval set = lowest ids (stand-in for a real
     #    benchmark table); contaminated TRAINING docs are dropped, the
-    #    eval docs themselves never enter the mixture.
+    #    eval docs themselves never enter the mixture. The dropped-id
+    #    frame is tiny (contaminated docs only) — checkpoint it so the
+    #    count and the anti-join share one computation of the
+    #    broadcast-join pass.
     train = clean.filter(F.col("doc_id") >= cfg.eval_max_doc_id)
     eval_docs = docs.filter(F.col("doc_id") < cfg.eval_max_doc_id)
-    contaminated = contamination_overlap(
-        train, eval_docs, n=cfg.decontam_ngram
-    ).select("doc_id")
+    contaminated = (
+        contamination_overlap(train, eval_docs, n=cfg.decontam_ngram)
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    n_contaminated = contaminated.count()
     decon = train.join(contaminated, "doc_id", "left_anti")
+    n_decon = n_train - n_contaminated
 
     # 3a. EXACT dedup first — one hash groupBy on normalized text keeps
     #     the min-id copy. Exact copies dominate real crawl dup mass
@@ -96,8 +121,6 @@ def run_mixture(spark: SparkSession, cfg: MixtureConfig) -> dict:
     exact_kept = decon.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
         eager=False
     )
-    n_decon = decon.count()
-    n_exact_kept = exact_kept.count()
 
     # 3b. near-dup clustering — pairs on shingle blocking keys, closed
     #     under transitivity, keep the component-minimum representative
@@ -111,6 +134,9 @@ def run_mixture(spark: SparkSession, cfg: MixtureConfig) -> dict:
     drop = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
+    # drop ⊆ exact_kept (CC nodes are pair endpoints), so stage sizes
+    # derive from this TINY frame: n_exact_kept = n_output + n_dropped
+    n_near_dup_dropped = drop.count()
     unique = exact_kept.join(drop, "doc_id", "left_anti")
 
     # 4. sequence packing over survivors (two-pass scalable form)
@@ -125,14 +151,14 @@ def run_mixture(spark: SparkSession, cfg: MixtureConfig) -> dict:
     out_tbl = SnapshotTable(cfg.out, "mixture_docs")
     manifest = out_tbl.append(packed, stage="mixture")
     n_out = manifest["n_rows"]
-    n_train = train.count()
+    n_exact_kept = n_out + n_near_dup_dropped
     counts = {
         "n_input": n_input,
         "n_quality_dropped": sum(reason_counts.values()),
-        "n_eval_held_out": n_input - sum(reason_counts.values()) - n_train,
-        "n_contaminated": n_train - n_decon,
+        "n_eval_held_out": n_eval_clean,
+        "n_contaminated": n_contaminated,
         "n_exact_dup_dropped": n_decon - n_exact_kept,
-        "n_near_dup_dropped": n_exact_kept - n_out,
+        "n_near_dup_dropped": n_near_dup_dropped,
         "n_output": n_out,
         **{f"quality_drop[{k}]": v for k, v in sorted(reason_counts.items())},
     }
