@@ -468,6 +468,20 @@ def real_wav_bytes(media_id: int, max_samples: int = 4096) -> bytes:
     return encode_wav(samples, sr)
 
 
+def ramp_wav_bytes(media_id: int) -> bytes:
+    """REAL WAV whose samples are a CLOSED-FORM function of media_id —
+    s_i = ((id·1009 + i·257) mod 65536) − 32768, n = 256 + (id·37) mod
+    1024, sr alternating 8/16 kHz — so a SQL engine can regenerate the
+    exact signal with generate_series and check the decoded metadata
+    (incl. RMS) value-for-value. All arithmetic stays below 2^53, so
+    numpy's float64 mean and SQL's avg produce identical doubles."""
+    n = 256 + (media_id * 37) % 1024
+    sr = 8000 if media_id % 2 else 16000
+    i = np.arange(n, dtype=np.int64)
+    samples = (((media_id * 1009 + i * 257) % 65536) - 32768).astype(np.int16)
+    return encode_wav(samples, sr)
+
+
 def real_bmp_bytes(media_id: int, max_side: int = 32) -> bytes:
     """Deterministic REAL BMP file for tests/benchmarks."""
     rng = np.random.default_rng(media_id)

@@ -1746,6 +1746,47 @@ def q_multimodal_png_cross_format(spark, sf):
     )
 
 
+@q(
+    "multimodal_audio_meta_wav",
+    # the audio plane's VALUE oracle: the WAV payloads carry a closed-
+    # form ramp signal, so DuckDB regenerates the exact samples with
+    # generate_series and computes the same metadata (incl. RMS) the
+    # binary RIFF/WAVE decode produces — integer arithmetic below 2^53
+    # keeps numpy float64 means and SQL avg bit-identical
+    "WITH m AS (SELECT i AS media_id, 256 + (i * 37) % 1024 AS n, "
+    "CASE WHEN i % 2 = 1 THEN 8000 ELSE 16000 END AS sr "
+    "FROM range(0, 64) t(i)), "
+    "s AS (SELECT media_id, n, sr, "
+    "((media_id * 1009 + u.i * 257) % 65536) - 32768 AS v "
+    "FROM m, unnest(generate_series(0, n - 1)) u(i)) "
+    "SELECT media_id, sr AS sample_rate, n AS n_samples, "
+    "round(n::DOUBLE / sr, 6) AS duration_s, "
+    "round(sqrt(avg(CAST(v AS DOUBLE) * v)), 4) AS rms "
+    "FROM s GROUP BY media_id, sr, n",
+)
+def q_multimodal_audio_wav(spark, sf):
+    # real RIFF/WAVE PCM bytes through the chunked-walk decoder
+    # (operators/multimodal.py wav_audio_kernel) in one mapInPandas —
+    # the same binary-column plumbing as the image plane, now under a
+    # full driver value check rather than rows-only.
+    import pandas as pd
+
+    from ..operators.multimodal import decode_audio, ramp_wav_bytes
+
+    rows = [(i, "audio", ramp_wav_bytes(i)) for i in range(64)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary",
+    )
+    return decode_audio(media).select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+    )
+
+
 @q("multimodal_near_dup_phash")
 def q_multimodal_neardup(spark, sf):
     # TRUE near-dup: ids 0..19 are re-encoded with ONE perturbed pixel,
@@ -2021,12 +2062,12 @@ def q_tpch_q18(spark, sf):
 # ===================================================== driver-window order
 # The driver's CORRECTNESS snapshot covers exactly the FIRST 50 registry
 # entries in insertion order (round-2 judge finding: the remaining had no
-# driver row for two rounds). With 88 registry queries and a 50-row
-# window, 38 queries are always outside — so the window ROTATES
+# driver row for two rounds). With 89 registry queries and a 50-row
+# window, 39 queries are always outside — so the window ROTATES
 # (round-3 judge item 3): 22 permanently-critical rows stay pinned (the
 # KG pipeline stages, TPC-H star shapes, streaming twins, the dedup/ANN
-# heads — the engine's headline surface), and the remaining 66 queries
-# are split into two halves (38/28) that alternate rounds; the window is
+# heads — the engine's headline surface), and the remaining 67 queries
+# are split into two halves (39/28) that alternate rounds; the window is
 # pinned + active_half[:28], so the active half's TAIL entries are the
 # overflow slots for its round (kept on rows-only queries whose driver
 # rows add the least signal). Every rotated-out query stays under the
@@ -2067,6 +2108,7 @@ _GENERIC_HALF_A = [
     # round-4 additions, front of the half so they draw a driver row the
     # first round A is active (both carry full value oracles)
     "multimodal_png_cross_format_dup",
+    "multimodal_audio_meta_wav",
     "stream_stateful_sessionize",
     "text_repetition",
     "dedup_cluster_cc",
@@ -2098,10 +2140,10 @@ _GENERIC_HALF_A = [
     "agg_rollup",
     "window_row_number_top1",
     "window_running_sum",
-    # tail = the overflow slots: with 88 registry queries the LAST
-    # TEN rows here sit outside the 50-row window when this half is
-    # active (agg_salted_two_phase, agg_rollup, window_row_number_top1,
-    # window_running_sum above included). Two are rows-only by design (partition order
+    # tail = the overflow slots: with 89 registry queries the LAST
+    # ELEVEN rows here sit outside the 50-row window when this half is
+    # active (agg_hash_groupby, agg_salted_two_phase, agg_rollup,
+    # window_row_number_top1, window_running_sum above included). Two are rows-only by design (partition order
     # isn't SQL-visible; the plain image_meta's ARROW twin covers the
     # same decode math in-window); the others are oracle-backed but
     # each carried a FULL driver hash pass in an earlier round and
