@@ -506,6 +506,88 @@ def perturbed_bmp_bytes(media_id: int, max_side: int = 32) -> bytes:
 # ------------------------------------------------------------- Spark plumbing
 
 
+# ----------------------------------------------------------- video plane
+# VID1 synthetic container (real codecs are ffmpeg-class and stay
+# NotImplementedError by design, like JPEG):
+#     b"VID1" w:int32 h:int32 n_frames:int32 fps:uint8
+#     payload = n_frames * h * w grayscale bytes, frame-major
+
+
+def encode_vid1(frames: "np.ndarray", fps: int = 10) -> bytes:
+    """frames is (n, h, w) uint8 grayscale."""
+    n, h, w = frames.shape
+    return b"VID1" + struct.pack("<iiiB", w, h, n, fps) + frames.tobytes()
+
+
+def ramp_video_bytes(media_id: int) -> bytes:
+    """Deterministic VID1 whose pixels are a CLOSED-FORM function —
+    p(f, y, x) = (id·31 + f·17 + y·7 + x·3) mod 256, n/w/h derived from
+    the id — so a SQL engine can regenerate every sampled frame with
+    generate_series and value-check the decode (same trick as
+    ramp_wav_bytes)."""
+    n = 8 + (media_id * 13) % 24
+    w = 8 + (media_id * 5) % 9
+    h = 8 + (media_id * 3) % 9
+    f, y, x = np.ogrid[0:n, 0:h, 0:w]
+    px = ((media_id * 31 + f * 17 + y * 7 + x * 3) % 256).astype(np.uint8)
+    return encode_vid1(px, fps=10)
+
+
+def stub_video_kernel(payload: bytes) -> dict:
+    if payload[:4] != b"VID1":
+        raise NotImplementedError(
+            "real video codecs are not installed; only the VID1 stub "
+            "container is decodable in this environment"
+        )
+    w, h, n, fps = struct.unpack("<iiiB", payload[4:17])
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": n,
+        "fps": fps,
+        "duration_s": n / fps,
+    }
+
+
+def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling: every ``every``-th frame of each VID1 payload is
+    emitted as an IMG1 container (channels=1), media_id encoded as
+    parent_id·1000 + frame_idx — so the DOWNSTREAM image plane
+    (decode_images / ahash / near-dup) consumes sampled video frames
+    with zero new code. Binary-in/binary-out mapInPandas; undecodable
+    payloads are skipped (consistent with the null-row policy of the
+    meta kernels). Scale notes: payload bytes move as one Arrow binary
+    column per batch; emitted frames are w·h bytes (~10³× smaller than
+    the clip), so the post-sample shuffle is cheap."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"VID1":
+                    continue
+                w, h, n, _fps = struct.unpack("<iiiB", b[4:17])
+                frames = np.frombuffer(
+                    b[17 : 17 + n * h * w], dtype=np.uint8
+                ).reshape(n, h, w)
+                for f in range(0, n, every):
+                    ids.append(mid * 1000 + f)
+                    blobs.append(
+                        b"IMG1"
+                        + struct.pack("<iiB", w, h, 1)
+                        + frames[f].tobytes()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(run, schema="media_id long, payload binary")
+
+
 def decode_images(
     media: DataFrame,
     kernel: Callable[[bytes], dict] = auto_image_kernel,

@@ -359,3 +359,44 @@ def test_decode_audio_over_real_wav_table(spark):
         assert got[i].sample_rate == want["sample_rate"]
         assert got[i].n_samples == want["n_samples"]
         assert abs(got[i].rms - want["rms"]) < 1e-9
+
+
+def test_video_frame_sampling_composes_with_image_plane(spark):
+    """VID1 clip -> every-4th frame as IMG1 -> decode_images: the
+    sampled-frame ids encode (parent, frame_idx) and the per-frame
+    pixels round-trip exactly through the container re-pack."""
+    import numpy as np
+    import pandas as pd
+
+    from relation_extraction_spark.operators.multimodal import (
+        decode_images,
+        ramp_video_bytes,
+        sample_frames,
+        stub_video_kernel,
+    )
+
+    meta = stub_video_kernel(ramp_video_bytes(7))
+    assert meta["fps"] == 10 and meta["n_frames"] == 8 + (7 * 13) % 24
+    assert meta["duration_s"] == meta["n_frames"] / 10
+
+    rows = [(i, "video", ramp_video_bytes(i)) for i in range(6)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary",
+    )
+    got = {r.media_id: r for r in decode_images(sample_frames(media, every=4)).collect()}
+    for i in range(6):
+        n = 8 + (i * 13) % 24
+        w, h = 8 + (i * 5) % 9, 8 + (i * 3) % 9
+        for f in range(0, n, 4):
+            r = got[i * 1000 + f]
+            assert (r.width, r.height, r.channels) == (w, h, 1)
+            y, x = np.ogrid[0:h, 0:w]
+            want = ((i * 31 + f * 17 + y * 7 + x * 3) % 256).mean()
+            assert abs(r.mean_lum - want) < 1e-9
+    # non-VID1 payloads are skipped, not errored
+    junk = spark.createDataFrame(
+        pd.DataFrame([(99, "video", b"NOPE")], columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary",
+    )
+    assert sample_frames(junk).count() == 0
