@@ -1834,6 +1834,53 @@ def q_multimodal_video_frames(spark, sf):
     )
 
 
+@q(
+    "multimodal_image_resize",
+    # the resize op's VALUE oracle: 16x16 closed-form pixels
+    # p(y,x) = (id*29 + y*7 + x*3) mod 256, nearest-neighbor grid to
+    # 8x8 = linspace(0,15,8).astype(int) = floor(j*15/7) — j*15/7 never
+    # lands near an integer except the exact endpoint, so float64
+    # truncation agrees between numpy and SQL; DuckDB recomputes the
+    # sampled grid and checks the resized frame's meta value-for-value
+    "WITH g AS (SELECT CAST(floor(j * 15.0 / 7) AS INT) AS s "
+    "FROM range(0, 8) t(j)), "
+    "px AS (SELECT m.i AS id, (m.i * 29 + gy.s * 7 + gx.s * 3) % 256 "
+    "AS p FROM range(0, 48) m(i), g gy, g gx) "
+    "SELECT id AS media_id, CAST(8 AS INT) AS width, "
+    "CAST(8 AS INT) AS height, CAST(1 AS INT) AS channels, "
+    "round(avg(CAST(p AS DOUBLE)), 4) AS mean_lum "
+    "FROM px GROUP BY id",
+)
+def q_multimodal_resize(spark, sf):
+    # binary-in/binary-out resize (nearest-neighbor downsample, emits a
+    # new IMG1 container) composed with decode_images for the meta —
+    # the thumbnailing plumbing shape, under a full driver value check.
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_images, resize_images
+
+    def img16(i: int) -> bytes:
+        y, x = np.ogrid[0:16, 0:16]
+        px = ((i * 29 + y * 7 + x * 3) % 256).astype(np.uint8)
+        return b"IMG1" + _struct.pack("<iiB", 16, 16, 1) + px.tobytes()
+
+    rows = [(i, "image", img16(i)) for i in range(48)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary",
+    )
+    return decode_images(resize_images(media, side=8)).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_lum", 4).alias("mean_lum"),
+    )
+
+
 @q("multimodal_near_dup_phash")
 def q_multimodal_neardup(spark, sf):
     # TRUE near-dup: ids 0..19 are re-encoded with ONE perturbed pixel,
@@ -2109,12 +2156,12 @@ def q_tpch_q18(spark, sf):
 # ===================================================== driver-window order
 # The driver's CORRECTNESS snapshot covers exactly the FIRST 50 registry
 # entries in insertion order (round-2 judge finding: the remaining had no
-# driver row for two rounds). With 90 registry queries and a 50-row
-# window, 40 queries are always outside — so the window ROTATES
+# driver row for two rounds). With 91 registry queries and a 50-row
+# window, 41 queries are always outside — so the window ROTATES
 # (round-3 judge item 3): 22 permanently-critical rows stay pinned (the
 # KG pipeline stages, TPC-H star shapes, streaming twins, the dedup/ANN
-# heads — the engine's headline surface), and the remaining 68 queries
-# are split into two halves (40/28) that alternate rounds; the window is
+# heads — the engine's headline surface), and the remaining 69 queries
+# are split into two halves (41/28) that alternate rounds; the window is
 # pinned + active_half[:28], so the active half's TAIL entries are the
 # overflow slots for its round (kept on rows-only queries whose driver
 # rows add the least signal). Every rotated-out query stays under the
@@ -2157,6 +2204,7 @@ _GENERIC_HALF_A = [
     "multimodal_png_cross_format_dup",
     "multimodal_audio_meta_wav",
     "multimodal_video_frame_sample",
+    "multimodal_image_resize",
     "stream_stateful_sessionize",
     "text_repetition",
     "dedup_cluster_cc",
@@ -2188,8 +2236,8 @@ _GENERIC_HALF_A = [
     "agg_rollup",
     "window_row_number_top1",
     "window_running_sum",
-    # tail = the overflow slots: with 90 registry queries the LAST
-    # TWELVE rows here sit outside the 50-row window when this half is
+    # tail = the overflow slots: with 91 registry queries the LAST
+    # THIRTEEN rows here sit outside the 50-row window when this half is
     # active (the generic join/agg/window heads directly above this
     # comment included — each was driver-hash-green in round 3). Two are rows-only by design (partition order
     # isn't SQL-visible; the plain image_meta's ARROW twin covers the
