@@ -207,3 +207,44 @@ def incremental_extract(
     ).parquet(pages_dir)
     triples = triples_from_sentences(sentences_from_pages(pages, lang=lang))
     run_available_now(triples, out_dir, checkpoint_dir, output_mode="append")
+
+
+def incremental_clean(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The streaming twin of the mixture CLEANING plane (plans/
+    mixture.py): watch a documents parquet directory and, per
+    micro-batch, quality-filter (same Gopher rules as batch) and
+    exact-dedup by content fingerprint, appending survivors + their
+    audit columns to a parquet sink. Re-running with the same
+    checkpoint processes only files added since the last run
+    (exactly-once, like incremental_extract).
+
+    Semantics note: ``dropDuplicates`` on a stream keeps state per
+    fingerprint FOREVER (no event-time column exists on documents), so
+    the incremental form deduplicates across ALL micro-batches ever
+    seen — exactly what a continuously-ingesting cleaning pipeline
+    wants, with state bounded by the count of DISTINCT clean documents
+    (at 100 TB, bound it by sharding the stream on fingerprint prefix
+    or adding an ingest-time watermark column; the batch pipeline
+    remains the backfill path).
+    """
+    from ..functions.textstats import quality_filter_exprs
+    from ..operators.dedup import normalize_text_expr
+
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(docs_dir)
+    keep, reasons = quality_filter_exprs("text", "lang")
+    cleaned = (
+        docs.withColumn("keep", keep)
+        .withColumn("reasons", reasons)
+        .filter(F.col("keep"))
+        .withColumn("fingerprint", F.md5(normalize_text_expr("text")))
+        .dropDuplicates(["fingerprint"])
+        .drop("keep")
+    )
+    run_available_now(cleaned, out_dir, checkpoint_dir, output_mode="append")

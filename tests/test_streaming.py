@@ -92,3 +92,55 @@ def test_incremental_extract_checkpoint(spark, tmp_path):
     incremental_extract(spark, pages_dir, out_dir, ckpt)
     assert _rows(spark.read.parquet(out_dir)) == want2
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_incremental_clean_dedups_across_batches(spark, tmp_path):
+    """Streaming mixture-cleaning twin: quality filter + content
+    fingerprint dedup hold ACROSS micro-batch runs — a duplicate
+    arriving in a later batch is dropped by checkpointed state, and
+    re-running with no new files appends nothing (exactly-once)."""
+    import shutil
+
+    from relation_extraction_spark.streaming.jobs import incremental_clean
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt_clean")
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks on "
+        "through the quiet town for a while watching all of it go by "
+        "with his friends from the old mill house by the river bend"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (0, good, "en", "web", len(good)),
+            (1, "too short", "en", "web", 9),
+            (2, good + " extra tail words here", "en", "web", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    batch1.write.mode("overwrite").parquet(docs_dir)
+    incremental_clean(spark, docs_dir, out_dir, ckpt)
+    got1 = spark.read.parquet(out_dir)
+    ids1 = {r.doc_id for r in got1.collect()}
+    assert ids1 == {0, 2}  # doc 1 fails the quality filter
+    assert set(got1.columns) >= {"doc_id", "reasons", "fingerprint"}
+
+    # batch 2: doc 10 duplicates doc 0's CONTENT (different id) -> the
+    # checkpointed fingerprint state drops it; doc 11 is new
+    batch2 = spark.createDataFrame(
+        [
+            (10, good, "en", "web", len(good)),
+            (11, good + " genuinely different ending for this one", "en", "web", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    batch2.write.mode("append").parquet(docs_dir)
+    incremental_clean(spark, docs_dir, out_dir, ckpt)
+    ids2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert ids2 == {0, 2, 11}
+
+    # third run, nothing new -> nothing appended
+    incremental_clean(spark, docs_dir, out_dir, ckpt)
+    assert {r.doc_id for r in spark.read.parquet(out_dir).collect()} == ids2
+    shutil.rmtree(ckpt, ignore_errors=True)
