@@ -1175,6 +1175,121 @@ def q_dedup_minhash_md5(spark, sf):
     )
 
 
+def _simhash_md5_oracle() -> str:
+    """SimHash with md5-derived bits, verbatim in DuckDB (see
+    q_dedup_simhash_md5). Bit b of a shingle = bit (b mod 4) of hex
+    digit b//4 of md5(sh), extracted with pure mod/compare arithmetic
+    ((d % 2^(k+1)) >= 2^k) so both dialects agree exactly."""
+    bit_aggs = ", ".join(
+        "CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', "
+        f"substr(md5(sh), {b // 4 + 1}, 1)) - 1) % {2 ** (b % 4 + 1)}) "
+        f">= {2 ** (b % 4)} THEN 1 ELSE -1 END) > 0 "
+        f"THEN '1' ELSE '0' END AS b_{b}"
+        for b in range(64)
+    )
+    sig_concat = " || ".join(f"b_{b}" for b in range(64))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS chunk, substr(sig, {i * 16 + 1}, 16) AS cv "
+        "FROM sig"
+        for i in range(4)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+        "FROM documents WHERE lang = 'en'), "
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "generate_series(1, greatest(len(t) - 1, 0)), i -> "
+        "array_to_string(t[i:i+1], ' ')))) AS sh FROM toks), "
+        f"bits AS (SELECT doc_id, {bit_aggs} FROM sh GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {sig_concat} AS sig FROM bits), "
+        f"banded AS ({bands}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.cv = b.cv "
+        "AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, CAST(len(list_filter(generate_series(1, 64), "
+        "i -> substr(sa.sig, i, 1) != substr(sb.sig, i, 1))) AS INT) "
+        "AS hamming FROM cand JOIN sig sa ON sa.doc_id = cand.id_a "
+        "JOIN sig sb ON sb.doc_id = cand.id_b "
+        "WHERE len(list_filter(generate_series(1, 64), "
+        "i -> substr(sa.sig, i, 1) != substr(sb.sig, i, 1))) <= 3"
+    )
+
+
+@q("dedup_simhash_md5", _simhash_md5_oracle())
+def q_dedup_simhash_md5(spark, sf):
+    # the SimHash ALGORITHM under a full value oracle (companion to
+    # dedup_minhash_lsh_md5): per-bit majority vote over shingles,
+    # 4-chunk pigeonhole banding (max_hamming=3 < 4 chunks guarantees
+    # a shared chunk), hamming verify on candidates. Bits come from
+    # md5 hex digits via mod/compare arithmetic — byte-identical in
+    # both engines — and the signature travels as a 64-char '0'/'1'
+    # string, so chunk keys and the hamming count are plain string
+    # ops everywhere. The production dedup_simhash (xxhash64, JVM long
+    # bit ops) stays the scale path; this twin pins the algorithm.
+    docs = T(spark, sf, "documents").filter(F.col("lang") == "en")
+    toks = F.split(F.col("text"), " ")
+    sh = docs.select(
+        F.col("doc_id").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.when(
+                        F.size(toks) >= 2,
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                    ),
+                    lambda i: F.array_join(F.slice(toks, i, 2), " "),
+                )
+            )
+        ).alias("sh"),
+    )
+    bit_aggs = [
+        F.expr(
+            "CASE WHEN sum(CASE WHEN ((instr('0123456789abcdef', "
+            f"substr(md5(sh), {b // 4 + 1}, 1)) - 1) % {2 ** (b % 4 + 1)}) "
+            f">= {2 ** (b % 4)} THEN 1 ELSE -1 END) > 0 "
+            f"THEN '1' ELSE '0' END AS b_{b}"
+        )
+        for b in range(64)
+    ]
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*bit_aggs)
+        .select(
+            "doc_id",
+            F.concat(*[F.col(f"b_{b}") for b in range(64)]).alias("sig"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[F.substring("sig", i * 16 + 1, 16) for i in range(4)]
+            )
+        ).alias("chunk", "cv"),
+    )
+    a = banded.select(F.col("doc_id").alias("id_a"), "chunk", "cv")
+    b = banded.select(F.col("doc_id").alias("id_b"), "chunk", "cv")
+    cand = (
+        a.join(b, ["chunk", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    hamming = F.expr(
+        "size(filter(sequence(1, 64), "
+        "i -> substr(sig_a, i, 1) != substr(sig_b, i, 1)))"
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 @q("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB equivalent
 def q_dedup_minhash(spark, sf):
     from ..operators.dedup import minhash_lsh_pairs
@@ -2316,12 +2431,12 @@ def q_tpch_q18(spark, sf):
 # ===================================================== driver-window order
 # The driver's CORRECTNESS snapshot covers exactly the FIRST 50 registry
 # entries in insertion order (round-2 judge finding: the remaining had no
-# driver row for two rounds). With 93 registry queries and a 50-row
-# window, 43 queries are always outside — so the window ROTATES
+# driver row for two rounds). With 94 registry queries and a 50-row
+# window, 44 queries are always outside — so the window ROTATES
 # (round-3 judge item 3): 22 permanently-critical rows stay pinned (the
 # KG pipeline stages, TPC-H star shapes, streaming twins, the dedup/ANN
-# heads — the engine's headline surface), and the remaining 71 queries
-# are split into two halves (43/28) that alternate rounds; the window is
+# heads — the engine's headline surface), and the remaining 72 queries
+# are split into two halves (44/28) that alternate rounds; the window is
 # pinned + active_half[:28], so the active half's TAIL entries are the
 # overflow slots for its round (kept on rows-only queries whose driver
 # rows add the least signal). Every rotated-out query stays under the
@@ -2367,6 +2482,7 @@ _GENERIC_HALF_A = [
     "multimodal_image_resize",
     "fn_vector_quantize",
     "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
     "stream_stateful_sessionize",
     "text_repetition",
     "dedup_cluster_cc",
@@ -2398,8 +2514,8 @@ _GENERIC_HALF_A = [
     "agg_rollup",
     "window_row_number_top1",
     "window_running_sum",
-    # tail = the overflow slots: with 93 registry queries the LAST
-    # FIFTEEN rows here sit outside the 50-row window when this half is
+    # tail = the overflow slots: with 94 registry queries the LAST
+    # SIXTEEN rows here sit outside the 50-row window when this half is
     # active (the generic join/agg/window heads directly above this
     # comment included — each was driver-hash-green in round 3). Two are rows-only by design (partition order
     # isn't SQL-visible; the plain image_meta's ARROW twin covers the
