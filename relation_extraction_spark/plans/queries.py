@@ -2562,8 +2562,9 @@ _GENERIC_HALF_B = [
 ]
 
 #: which half fills the 28 rotating window slots THIS round
-#: (round 3 ran A; round 4 runs B; flip per round)
-_ACTIVE_HALF = "B"
+#: (round 3 ran A; round 4 ran B; round 5 runs A — the 16 round-4
+#: additions at the front of A draw their first driver rows this round)
+_ACTIVE_HALF = "A"
 
 
 def _reorder_registry() -> None:
