@@ -51,6 +51,9 @@ def main() -> None:
         help="resolve pronoun-subject triples document-wide (operators/coref.py)",
     )
     args = ap.parse_args()
+    # Validate before paying Spark session startup.
+    if args.job == "mixture" and not args.input_parquet:
+        ap.error("--job mixture requires --input-parquet")
 
     spark = get_spark(
         app_name=f"{args.job}-pipeline",
@@ -63,8 +66,6 @@ def main() -> None:
             run_mixture,
         )
 
-        if not args.input_parquet:
-            ap.error("--job mixture requires --input-parquet")
         t0 = time.time()
         counts = run_mixture(
             spark,

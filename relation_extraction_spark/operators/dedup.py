@@ -172,17 +172,15 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sa"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sb"))
+    # Gate on the UNROUNDED ratio (the DuckDB oracles do the same in
+    # their WHERE) — rounding only the emitted column, so a ratio in
+    # [threshold - 5e-7, threshold) can't pass here yet fail the oracle.
+    ratio = F.col("common") / (F.col("sa") + F.col("sb") - F.col("common"))
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(ratio >= threshold)
+        .select("id_a", "id_b", F.round(ratio, 6).alias("jaccard"))
     )
 
 

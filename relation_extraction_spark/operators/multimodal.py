@@ -567,10 +567,16 @@ def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
                 b = bytes(payload)
                 if b[:4] != b"VID1":
                     continue
-                w, h, n, _fps = struct.unpack("<iiiB", b[4:17])
-                frames = np.frombuffer(
-                    b[17 : 17 + n * h * w], dtype=np.uint8
-                ).reshape(n, h, w)
+                # A valid magic with a truncated header/body must skip
+                # the row, not fail the task — same per-row error policy
+                # as decode_images/decode_audio.
+                try:
+                    w, h, n, _fps = struct.unpack("<iiiB", b[4:17])
+                    frames = np.frombuffer(
+                        b[17 : 17 + n * h * w], dtype=np.uint8
+                    ).reshape(n, h, w)
+                except (struct.error, ValueError):
+                    continue
                 for f in range(0, n, every):
                     ids.append(mid * 1000 + f)
                     blobs.append(

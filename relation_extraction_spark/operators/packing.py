@@ -25,6 +25,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def pack_offsets_window(
@@ -92,15 +98,34 @@ def pack_offsets_scalable(
         .collect()
     )
     base: dict[tuple, int] = {}
-    run: dict[str, int] = {}
-    for row in sorted(subtot, key=lambda r: (r[stratum_col], r["_pid"])):
+    run: dict = {}
+    # NULL strata sort first (matching range-partition NULLS FIRST);
+    # Python can't compare None to str, so key on (is-not-null, value).
+    for row in sorted(
+        subtot,
+        key=lambda r: (
+            r[stratum_col] is not None,
+            r[stratum_col],
+            r["_pid"],
+        ),
+    ):
         s = row[stratum_col]
         base[(row["_pid"], s)] = run.get(s, 0)
         run[s] = run.get(s, 0) + row["_sub"]
+    # The stratum field keeps the INPUT's type (it was hardcoded string
+    # pre-round-5, which broke non-string strata at createDataFrame);
+    # the join is null-safe so the NULL stratum survives, matching
+    # pack_offsets_window's window-partition semantics.
     base_df = F.broadcast(
         docs.sparkSession.createDataFrame(
             [(p, s, o) for (p, s), o in base.items()],
-            schema=f"_pid int, {stratum_col} string, _base long",
+            schema=StructType(
+                [
+                    StructField("_bpid", IntegerType()),
+                    StructField("_bstr", docs.schema[stratum_col].dataType),
+                    StructField("_base", LongType()),
+                ]
+            ),
         )
     )
     w = (
@@ -109,7 +134,11 @@ def pack_offsets_scalable(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        d.join(base_df, ["_pid", stratum_col])
+        d.join(
+            base_df,
+            (F.col("_pid") == F.col("_bpid"))
+            & F.col(stratum_col).eqNullSafe(F.col("_bstr")),
+        )
         .withColumn(
             "off",
             F.coalesce(F.sum(tok_col).over(w), F.lit(0)) + F.col("_base"),

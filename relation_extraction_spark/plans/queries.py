@@ -1161,17 +1161,15 @@ def q_dedup_minhash_md5(spark, sf):
     )
     za = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sza"))
     zb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("szb"))
+    # Gate on the unrounded ratio exactly as the oracle's WHERE does;
+    # round only the emitted column (same convention as
+    # ngram_jaccard_pairs since round 5).
+    ratio = F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))
     return (
         com.join(za, "id_a")
         .join(zb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("c") / (F.col("sza") + F.col("szb") - F.col("c")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.3)
-        .select("id_a", "id_b", "jaccard")
+        .filter(ratio >= 0.3)
+        .select("id_a", "id_b", F.round(ratio, 6).alias("jaccard"))
     )
 
 

@@ -216,6 +216,43 @@ class TestPackScalable:
             4: (3, 88),     # offset 1624
         }
 
+    def test_null_and_nonstring_strata_match_window_form(self, spark):
+        # round-5 ADVICE: the scalable form used to hardcode a string
+        # stratum schema (int stratum -> createDataFrame error) and an
+        # inner equi-join (NULL stratum silently dropped). Both shapes
+        # must now pack identically to the window form.
+        from relation_extraction_spark.operators.packing import (
+            pack_offsets_scalable,
+            pack_offsets_window,
+        )
+
+        # NULL stratum rows survive and pack as their own group
+        rows = [(0, None, 10), (1, "en", 20), (2, None, 30), (3, "en", 5)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, n_tok long"
+        )
+        a = sorted(pack_offsets_window(docs, budget=16).collect())
+        b = sorted(
+            pack_offsets_scalable(docs, budget=16, num_partitions=3).collect()
+        )
+        assert a == b and len(b) == 4
+
+        # integer stratum column round-trips through the broadcast base
+        docs_i = spark.createDataFrame(
+            [(i, i % 2, 7) for i in range(6)],
+            "doc_id long, bucket int, n_tok long",
+        )
+        a = sorted(
+            pack_offsets_window(docs_i, budget=10, stratum_col="bucket")
+            .collect()
+        )
+        b = sorted(
+            pack_offsets_scalable(
+                docs_i, budget=10, stratum_col="bucket", num_partitions=3
+            ).collect()
+        )
+        assert a == b and len(b) == 6
+
 
 class TestQualityFilter:
     def test_reasons_consistent_with_keep(self, spark, sf_dir):

@@ -394,9 +394,17 @@ def test_video_frame_sampling_composes_with_image_plane(spark):
             y, x = np.ogrid[0:h, 0:w]
             want = ((i * 31 + f * 17 + y * 7 + x * 3) % 256).mean()
             assert abs(r.mean_lum - want) < 1e-9
-    # non-VID1 payloads are skipped, not errored
+    # non-VID1 payloads are skipped, not errored — and so are payloads
+    # with a VALID magic but a truncated header or body (round-5
+    # ADVICE: these used to raise struct.error/ValueError in-task)
+    trunc_header = b"VID1" + b"\x01\x02"                       # header cut
+    trunc_body = ramp_video_bytes(3)[:-50]                      # body cut
     junk = spark.createDataFrame(
-        pd.DataFrame([(99, "video", b"NOPE")], columns=["media_id", "kind", "payload"]),
+        pd.DataFrame(
+            [(99, "video", b"NOPE"), (98, "video", trunc_header),
+             (97, "video", trunc_body)],
+            columns=["media_id", "kind", "payload"],
+        ),
         "media_id long, kind string, payload binary",
     )
     assert sample_frames(junk).count() == 0
