@@ -154,6 +154,75 @@ def lsh_probe_buckets_expr(
     return F.concat(F.array(bucket), flips)
 
 
+def bucket_join_topk(
+    corpus: DataFrame, queries: DataFrame, k: int, key: str = "_bucket"
+) -> DataFrame:
+    """Shared candidates-join + exact-rank tail of every bucketed ANN
+    variant (LSH, IVF, md5 verification twin): the corpus side carries
+    ONE bucket per row under ``key``, the broadcast query side arrives
+    pre-fanned-out to its probe buckets, and exact cosine ranks within
+    the candidate set. Expects columns (neighbor_id, _cv, key) /
+    (query_id, _qv, key)."""
+    scored = corpus.join(F.broadcast(queries), key).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr("_qv", "_cv").alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+def md5_bucket_expr(id_col: str | Column, digit: int = 1) -> Column:
+    """Data-oblivious 16-way bucket: hex digit ``digit`` of
+    md5(cast(id as string)). Exists for the cross-engine VERIFICATION
+    twin of the bucketed-ANN plumbing (ann_topk_lsh_md5): DuckDB
+    computes the identical bucket with strpos('0123..f', substr(md5(..)))
+    so the whole candidate pipeline — bucket assign, probe fan-out,
+    bucket equi-join, self-exclusion, cosine rank, top-k — is
+    value-checked, not just recall-bounded. The production paths use
+    the data-adaptive lsh/ivf bucketings; this one is only blind to
+    vector geometry, not to any of the join/rank mechanics."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), digit, 1), 16, 10
+    ).cast("int")
+
+
+def md5_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The md5 verification twin: same plan shape as lsh_bucketed_topk
+    (one bucket per corpus row, query-side probe fan-out of ``n_probes``
+    consecutive buckets mod 16, candidates-only cosine rank), bucket
+    function swapped to the cross-engine md5 hex digit."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        md5_bucket_expr(id_col).alias("_bucket"),
+    )
+    b = md5_bucket_expr(id_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.array(*[(b + F.lit(i)) % 16 for i in range(n_probes)])
+        ).alias("_bucket"),
+    )
+    return bucket_join_topk(c, q, k)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -258,20 +327,7 @@ def ivf_topk(
         F.col(vec_col).alias("_qv"),
         F.explode(ivf_probe_cells_expr(vec_col, centroids, nprobe)).alias("_cell"),
     )
-    scored = c.join(F.broadcast(q), "_cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            cosine_expr("_qv", "_cv").alias("cos"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
-    )
+    return bucket_join_topk(c, q, k, key="_cell")
 
 
 def lsh_bucketed_topk(
@@ -310,17 +366,4 @@ def lsh_bucketed_topk(
             lsh_probe_buckets_expr(vec_col, dim, n_planes, seed, n_probes)
         ).alias("_bucket"),
     )
-    scored = c.join(F.broadcast(q), "_bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            cosine_expr("_qv", "_cv").alias("cos"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
-    )
+    return bucket_join_topk(c, q, k)
