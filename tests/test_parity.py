@@ -51,7 +51,7 @@ def test_driver_window_rotation_partition():
 
     names = list(QUERIES)
     pinned, a, b = set(_PINNED), set(_GENERIC_HALF_A), set(_GENERIC_HALF_B)
-    assert len(pinned) == 22 and {len(a), len(b)} == {28, 45}
+    assert len(pinned) == 22 and {len(a), len(b)} == {28, 46}
     assert not (pinned & a or pinned & b or a & b)  # disjoint
     assert pinned | a | b == set(names)  # exhaustive
     window = set(names[:50])
