@@ -124,30 +124,28 @@ _SUFFIX_RULES = (
 )
 
 
+#: single merged lexicon (round-5 tag-path A/B, BASELINE.md §tag-path):
+#: on a ZERO-REPEAT corpus every token misses the caches, so the miss
+#: path itself must be cheap — one dict probe replaces up to ten
+#: sequential set-membership checks. Built lowest-priority-first so a
+#: word in several lexicons keeps the tag the old check order gave it
+#: (pytest pins tag equality on the old sequential path).
+_LEX: dict[str, str] = {}
+for _set, _tag in (
+    (_ADJS, "J"), (_VERBS, "V"), (_ADVS, "R"), (_WH, "W"), (_CONJ, "C"),
+    (_TO, "T"), (_PREPS, "P"), (_DETS, "D"), (_MODALS, "M"), (_BE, "B"),
+):
+    for _w in _set:
+        _LEX[_w] = _tag
+
+
 @lru_cache(maxsize=200_000)
 def tag_word(w: str) -> str:
     """One deterministic tag char per token (cached across batches)."""
     lw = w.lower()
-    if lw in _BE:
-        return "B"
-    if lw in _MODALS:
-        return "M"
-    if lw in _DETS:
-        return "D"
-    if lw in _PREPS:
-        return "P"
-    if lw in _TO:
-        return "T"
-    if lw in _CONJ:
-        return "C"
-    if lw in _WH:
-        return "W"
-    if lw in _ADVS:
-        return "R"
-    if lw in _VERBS:
-        return "V"
-    if lw in _ADJS:
-        return "J"
+    t = _LEX.get(lw)
+    if t is not None:
+        return t
     if not w[0].isalpha():
         return "O"
     # 3sg-inflection stem check: "compiles" -> "compile" in verb lexicon

@@ -63,7 +63,14 @@ _LANGS = ["es", "de", "fr", "zh"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 
-def _sentence(rng: random.Random, skew: float) -> str:
+_SUFFIX_ALPHABET = "qxzkwv"
+
+
+def _uniq_suffix(rng: random.Random, n: int = 12) -> str:
+    return "".join(rng.choice(_SUFFIX_ALPHABET) for _ in range(n))
+
+
+def _sentence(rng: random.Random, skew: float, unique_vocab: bool = False) -> str:
     if rng.random() < skew:
         return "%s %s the %s." % (
             _HEAD_ENTITY, rng.choice(_VERBS), rng.choice(_NOUNS)
@@ -73,6 +80,20 @@ def _sentence(rng: random.Random, skew: float) -> str:
     v = rng.choice(_VERBS)
     a = rng.choice(_ADJS)
     e = rng.choice(_ENTITIES)
+    if unique_vocab:
+        # zero-repeat mode (round-5 tag-path A/B): every noun/entity
+        # occurrence gets a fresh suffix, so no sentence, tag-cache
+        # entry, or open-class token EVER repeats across the corpus —
+        # the worst case for the tag/parse caches. The suffix alphabet
+        # (q x z k w v) keeps each word ONE token (letters only, so
+        # TOKEN_RE doesn't split it) and keeps the tagger's output
+        # class identical (no lexicon hit, no -s stem check, and no
+        # _SUFFIX_RULES ending matches these letters → default noun),
+        # so the parse workload SHAPE matches the normal corpus and
+        # the A/B isolates cache effectiveness, not grammar drift.
+        n1 += _uniq_suffix(rng)
+        n2 += _uniq_suffix(rng)
+        e += _uniq_suffix(rng)
     if t == 0:
         return "The %s %s %s the %s." % (a, n1, v, n2)
     if t == 1:
@@ -99,16 +120,18 @@ def make_page(
     skew: float,
     lang_en: float,
     sent_range: tuple[int, int] = (3, 10),
+    unique_vocab: bool = False,
 ) -> dict:
     """Pure deterministic page for row id ``i`` (oracle-shared core).
 
     ``sent_range`` controls page length (sentences per page); benchmarks
     use longer, Common-Crawl-shaped pages (tests keep the short default).
+    ``unique_vocab`` switches to the zero-repeat corpus (see _sentence).
     """
     rng = random.Random((seed << 32) ^ (i * 2654435761 % (1 << 61)))
     lang = "en" if rng.random() < lang_en else rng.choice(_LANGS)
     n_sent = rng.randint(*sent_range)
-    sents = [_sentence(rng, skew) for _ in range(n_sent)]
+    sents = [_sentence(rng, skew, unique_vocab) for _ in range(n_sent)]
     text = " ".join(sents)
     body = "".join("<p>%s</p>" % _escape(s, rng) for s in sents)
     html = (
@@ -155,6 +178,7 @@ def synthetic_pages(
     lang_en: float = 0.85,
     parts: int | None = None,
     sent_range: tuple[int, int] = (3, 10),
+    unique_vocab: bool = False,
 ) -> DataFrame:
     """Distributed generator: ``spark.range(n)`` -> mapInPandas -> pages."""
     parts = parts or max(spark.sparkContext.defaultParallelism, 4)
@@ -163,7 +187,9 @@ def synthetic_pages(
         for pdf in batches:
             rows = []
             for i in pdf["id"].tolist():
-                rows.append(make_page(seed, i, skew, lang_en, sent_range))
+                rows.append(
+                    make_page(seed, i, skew, lang_en, sent_range, unique_vocab)
+                )
                 if dup_frac > 0 and (i * 2654435761 % 10_000) < dup_frac * 10_000:
                     rows.append(make_stale_recrawl(seed, i, skew, lang_en, sent_range))
             yield pd.DataFrame(

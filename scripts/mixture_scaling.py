@@ -56,6 +56,39 @@ spark.stop()
 """
 
 
+def gen_s4_skewed_docs(pages: int, path: str) -> None:
+    """Round-5 judge item 6: the mixture job over the S4 web corpus
+    with 10% HEAD-ENTITY sentence skew and one GIANT packing stratum
+    (lang_en=0.85 puts 85% of all documents in the 'en' stratum the
+    packer ranges on). doc_id is a deterministic row number over the
+    url-ordered corpus, so the dataset — and therefore the audit
+    counts — is identical at every parallelism level."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    code = (
+        "import sys; sys.path.insert(0, %r)\n" % REPO
+        + "import pandas as pd\n"
+        "from relation_extraction_spark.session import get_spark\n"
+        "from relation_extraction_spark.sources.corpus import make_page\n"
+        "spark = get_spark(app_name='gen-s4', master='local[32]')\n"
+        "def gen(batches):\n"
+        "    for pdf in batches:\n"
+        "        rows = []\n"
+        "        for i in pdf['id'].tolist():\n"
+        "            p = make_page(42, i, 0.1, 0.85, (3, 10))\n"
+        "            rows.append((i, p['text'], p['lang'], 's4',"
+        " len(p['text'])))\n"
+        "        yield pd.DataFrame(rows, columns="
+        "['doc_id', 'text', 'lang', 'source', 'n_chars'])\n"
+        f"docs = spark.range(0, {pages}, 1, 64).mapInPandas(gen,\n"
+        "    'doc_id long, text string, lang string, source string,"
+        " n_chars long')\n"
+        "docs.write.mode('overwrite').parquet(%r)\n" % path
+        + "spark.stop()\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
+
+
 def gen_replicated_docs(replicas: int, path: str) -> None:
     """K deterministic copies of the sf0.1 documents, ids shifted by
     1e6 per replica (replica 0 keeps original ids, so the eval set —
@@ -98,6 +131,11 @@ def run_once(cores: int, docs: str, driver_mem: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=20)
+    ap.add_argument("--s4-pages", type=int, default=0,
+                    help="instead of replicated fixture docs, generate "
+                         "THIS many S4 documents with 10%% head-entity "
+                         "skew and a giant 'en' packing stratum "
+                         "(round-5 judge item 6)")
     ap.add_argument("--small", type=int, default=2)
     ap.add_argument("--large", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=2)
@@ -105,9 +143,13 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_mixture_scaling.json"))
     args = ap.parse_args()
 
-    docs = os.path.join(BENCH_ROOT, f"mixture_docs_x{args.replicas}.parquet")
-    if not os.path.exists(docs):
-        gen_replicated_docs(args.replicas, docs)
+    if args.s4_pages:
+        docs = os.path.join(BENCH_ROOT, f"mixture_s4_{args.s4_pages}.parquet")
+        gen_s4_skewed_docs(args.s4_pages, docs)
+    else:
+        docs = os.path.join(BENCH_ROOT, f"mixture_docs_x{args.replicas}.parquet")
+        if not os.path.exists(docs):
+            gen_replicated_docs(args.replicas, docs)
 
     legs = []
     small = large = None
@@ -131,6 +173,8 @@ def main() -> None:
     )
     record = {
         "job": "mixture",
+        "input": (f"s4_skewed_{args.s4_pages}" if args.s4_pages
+                  else f"replicated_x{args.replicas}"),
         "replicas": args.replicas,
         "small_cores": args.small,
         "large_cores": args.large,

@@ -79,6 +79,37 @@ class TestNlp:
         toks = tokenize("The planner picks a hash join.")
         assert tag_tokens(toks) == "DNVDNNO"
 
+    def test_merged_lexicon_matches_sequential_priority(self):
+        """The round-5 single-dict ``_LEX`` must tag every lexicon word
+        exactly as the original sequential membership checks did
+        (BE > MODAL > DET > PREP > TO > CONJ > WH > ADV > VERB > ADJ)."""
+        from relation_extraction_spark.functions import nlp
+
+        seq = [
+            (nlp._BE, "B"), (nlp._MODALS, "M"), (nlp._DETS, "D"),
+            (nlp._PREPS, "P"), (nlp._TO, "T"), (nlp._CONJ, "C"),
+            (nlp._WH, "W"), (nlp._ADVS, "R"), (nlp._VERBS, "V"),
+            (nlp._ADJS, "J"),
+        ]
+        every = set().union(*(s for s, _ in seq))
+
+        def sequential(lw: str) -> str:
+            for s, t in seq:
+                if lw in s:
+                    return t
+            raise AssertionError(lw)
+
+        for w in sorted(every):
+            assert nlp._LEX[w] == sequential(w), w
+        # and the non-lexicon fallbacks survive the refactor
+        assert nlp.tag_word("engine42") == "N"  # default noun
+        # synthetic 3sg forms pin BOTH stem branches (-s and -es):
+        # "indexs"[:-1] = "index", "mapes"[:-2] = "map", both in _VERBS
+        assert nlp.tag_word("indexs") == "V"
+        assert nlp.tag_word("mapes") == "V"
+        assert nlp.tag_word("quickly") == "R"
+        assert nlp.tag_word("7") == "O"
+
     def test_svo_extraction(self):
         ts = extract_from_sentence("The fast engine scans the large table.")
         assert {(t["subj"], t["pred"], t["obj"]) for t in ts} == {
