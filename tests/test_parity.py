@@ -51,7 +51,7 @@ def test_driver_window_rotation_partition():
 
     names = list(QUERIES)
     pinned, a, b = set(_PINNED), set(_GENERIC_HALF_A), set(_GENERIC_HALF_B)
-    assert len(pinned) == 10 and (len(_GENERIC_HALF_A), len(_GENERIC_HALF_B)) == (46, 40)
+    assert len(pinned) == 10 and (len(_GENERIC_HALF_A), len(_GENERIC_HALF_B)) == (46, 41)
     assert not (pinned & a or pinned & b or a & b)  # disjoint
     assert pinned | a | b == set(names)  # exhaustive
     window = set(names[:50])
