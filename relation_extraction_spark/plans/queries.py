@@ -2586,9 +2586,16 @@ _GENERIC_HALF_A = [
     "sample_topk_per_stratum",
     "text_quality_filter",
     "decontaminate_ngram",
-    # round-5 additions (full value oracles; judge items 2-4)
+    # round-5 additions (full value oracles; judge items 2-4).
+    # ann_topk_ivf_exhaustive: the real IVF plan with nprobe ==
+    # n_centroids is provably equal to brute-force top-k, so the whole
+    # train/assign/probe/rank pipeline is hash-checked, not just
+    # recall-bounded — placed in the ACTIVE half so it draws a driver
+    # row the round it was written (fn_json, r3-driver-green and
+    # locally parity-gated every session, yields its slot to B's).
     "ann_topk_lsh_md5",
     "multimodal_jpeg_cross_format_dup",
+    "ann_topk_ivf_exhaustive",
     # oracle-backed generics (r3 driver-green, re-verified this round)
     "text_lang_id",
     "text_quality_score",
@@ -2611,7 +2618,6 @@ _GENERIC_HALF_A = [
     "topk_orders",
     "fn_vector_cosine",
     "fn_string_normalize",
-    "fn_json",
     # ---- position > 40: rows-only overflow (not in the window even
     # when A is active; semantics pytest-pinned, and the decode math of
     # the image_meta pair is value-checked in-window by the PNG/JPEG
@@ -2665,14 +2671,13 @@ _GENERIC_HALF_B = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
-    # slot 40 (round 5): the exhaustive-probe IVF value oracle — the
-    # real IVF plan with nprobe == n_centroids must equal brute-force
-    # top-k, so the whole train/assign/probe/rank pipeline is
-    # hash-checked, not just recall-bounded
-    "ann_topk_ivf_exhaustive",
+    # slot 40: fn_json moved here in the round-5 rebalance so the new
+    # ann_topk_ivf_exhaustive could take an ACTIVE (half-A) slot and
+    # draw its driver row the round it was written
+    "fn_json",
     # ---- position > 40: rows-only overflow (bounded-nprobe production
     # config; recall/determinism property-tested, its candidate plumbing
-    # value-checked in-window by ann_topk_ivf_exhaustive here and
+    # value-checked in-window by ann_topk_ivf_exhaustive and
     # ann_topk_lsh_md5 in half A)
     "ann_topk_ivf",
 ]

@@ -68,4 +68,4 @@ def test_driver_window_rotation_partition():
     assert not (set(_PINNED) & oracle)  # pinned slots spent on rows-only
     # this round's window must include every never-driver-checked query
     # (the round-4/5 additions at the front of half A)
-    assert set(_GENERIC_HALF_A[:18]) <= window
+    assert set(_GENERIC_HALF_A[:19]) <= window
